@@ -1,0 +1,18 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Tests exercise multi-chip sharding on a virtual mesh (SURVEY.md §4); the real
+TPU is reserved for bench.py. Environment must be set before jax imports.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+
+REFERENCE_DATA = "/root/reference/data"
