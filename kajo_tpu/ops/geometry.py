@@ -1,0 +1,275 @@
+"""Batched ray geometry: camera basis, scene preparation, nearest-hit trace.
+
+TPU-first redesign of the reference's per-ray recursive intersection scan
+(spec /root/reference/renderer/cpu/Raytracer.cpp): instead of looping objects
+per ray, we intersect **all rays x all objects** as dense array ops and take a
+masked argmin over the object axis. Object ids are planes-first then spheres,
+matching the reference scan order (Raytracer.cpp:131-132) and its tie behavior
+(a later object needs a strictly smaller t to win; argmin keeps the first).
+
+Semantics replicated exactly:
+  * rays are transformed to object space by the inverse transform; hit
+    distances are scaled by the transform determinant (Raytracer.cpp:70,96);
+  * sphere intersection uses the numerically stable quadratic with the
+    sign(b) branch (Raytracer.cpp:34-41);
+  * sphere normals are object-space hit points rotated by the forward matrix
+    and normalized; the tangent uses the smallest-component permutation trick
+    (Raytracer.cpp:52-64);
+  * plane normals are the *negated* rotated local +Y, not re-normalized
+    (Raytracer.cpp:90); plane tangent is the rotated +X;
+  * `t == 0` is accepted (minDistance is 0 and the bound checks are strict).
+
+Everything here is differentiable w.r.t. the scene pytree: `prepare_scene`
+derives inverses/determinants with jnp inside the traced computation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..scene.types import Camera, Materials, Scene
+from ..utils.math3d import unproject
+
+FLT_EPSILON = jnp.float32(1.1920928955078125e-07)
+INF = jnp.float32(jnp.inf)
+
+
+def _pytree_dataclass(cls):
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    jax.tree_util.register_dataclass(
+        cls, data_fields=[f.name for f in dataclasses.fields(cls)], meta_fields=[]
+    )
+    return cls
+
+
+@_pytree_dataclass
+class CameraBasis:
+    """Image-plane basis from unprojected viewport corners (cpu/Renderer.cpp:30-34)."""
+
+    origin: jax.Array  # [3]
+    p1: jax.Array      # [3] world point of screen (0,0) on the near plane
+    du: jax.Array      # [3] p2 - p1 (screen +x)
+    dv: jax.Array      # [3] p3 - p1 (screen +y)
+
+
+@_pytree_dataclass
+class PreparedScene:
+    """Derived, trace-ready scene. All leaves are functions of Scene leaves."""
+
+    # planes: only the inverse-matrix row that yields object-space y is needed
+    plane_nrow: jax.Array     # [P, 4]  (inv[1, :]) — o_loc.y = nrow[:3]·o + nrow[3]
+    plane_det: jax.Array      # [P]
+    plane_normal: jax.Array   # [P, 3]  world normal = -fwd3 @ (0,1,0) (unnormalized)
+    plane_tangent: jax.Array  # [P, 3]  world tangent = fwd3 @ (1,0,0)
+    # spheres
+    sphere_inv3: jax.Array    # [S, 3, 3]
+    sphere_invt: jax.Array    # [S, 3]
+    sphere_fwd3: jax.Array    # [S, 3, 3]
+    sphere_det: jax.Array     # [S]
+    sphere_radius2: jax.Array # [S]
+    # lights (emissive spheres; static subset chosen at scene build)
+    light_center: jax.Array   # [L, 3] world-space sphere center
+    light_radius: jax.Array   # [L]
+    light_emission: jax.Array # [L, 4]
+    light_obj: jax.Array      # [L] int32 object id (planes-first indexing)
+    # shading tables
+    materials: Materials      # K = P + S
+    background: jax.Array     # [4]
+    camera: CameraBasis
+
+
+@_pytree_dataclass
+class SurfaceHit:
+    """SoA SurfacePoint (cpu/SurfacePoint.h:13-29): obj == -1 means miss."""
+
+    t: jax.Array         # [N] world-space (determinant-scaled) hit distance
+    obj: jax.Array       # [N] int32, -1 on miss
+    position: jax.Array  # [N, 3]
+    normal: jax.Array    # [N, 3]
+    tangent: jax.Array   # [N, 3]
+    binormal: jax.Array  # [N, 3]
+    view: jax.Array      # [N, 3] incident ray direction
+
+
+def camera_basis(camera: Camera) -> CameraBasis:
+    view = jnp.asarray(camera.transform, jnp.float32)
+    proj = jnp.asarray(camera.projection, jnp.float32)
+    p1 = unproject(jnp.array([0.0, 0.0, 0.0]), view, proj, xp=jnp)
+    p2 = unproject(jnp.array([1.0, 0.0, 0.0]), view, proj, xp=jnp)
+    p3 = unproject(jnp.array([0.0, 1.0, 0.0]), view, proj, xp=jnp)
+    origin = (jnp.linalg.inv(view) @ jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32))[:3]
+    return CameraBasis(origin=origin, p1=p1, du=p2 - p1, dv=p3 - p1)
+
+
+def generate_rays(basis: CameraBasis, sx: jax.Array, sy: jax.Array):
+    """Camera rays through normalized screen coords (cpu/Renderer.cpp:55-59).
+
+    Callers supply sy already flipped ((H - y) / H convention)."""
+    d = (
+        basis.p1[None, :]
+        + basis.du[None, :] * sx[:, None]
+        + basis.dv[None, :] * sy[:, None]
+        - basis.origin[None, :]
+    )
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(basis.origin, d.shape)
+    return o, d
+
+
+def prepare_scene(scene: Scene) -> PreparedScene:
+    pt = jnp.asarray(scene.plane_transform, jnp.float32)
+    st = jnp.asarray(scene.sphere_transform, jnp.float32)
+    radius = jnp.asarray(scene.sphere_radius, jnp.float32)
+
+    plane_inv = jnp.linalg.inv(pt) if pt.shape[0] else pt
+    sphere_inv = jnp.linalg.inv(st) if st.shape[0] else st
+
+    num_planes = pt.shape[0]
+    light_idx = jnp.asarray(scene.light_indices, jnp.int32).reshape(-1)
+    light_transform = st[light_idx] if len(scene.light_indices) else st[:0]
+
+    materials = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), scene.materials)
+
+    return PreparedScene(
+        plane_nrow=plane_inv[:, 1, :],
+        plane_det=jnp.linalg.det(pt) if pt.shape[0] else jnp.zeros((0,), jnp.float32),
+        plane_normal=-pt[:, :3, 1],
+        plane_tangent=pt[:, :3, 0],
+        sphere_inv3=sphere_inv[:, :3, :3],
+        sphere_invt=sphere_inv[:, :3, 3],
+        sphere_fwd3=st[:, :3, :3],
+        sphere_det=jnp.linalg.det(st) if st.shape[0] else jnp.zeros((0,), jnp.float32),
+        sphere_radius2=radius * radius,
+        light_center=light_transform[:, :3, 3],
+        light_radius=radius[light_idx] if len(scene.light_indices) else radius[:0],
+        light_emission=materials.emission[num_planes + light_idx]
+        if len(scene.light_indices)
+        else materials.emission[:0],
+        light_obj=num_planes + light_idx,
+        materials=materials,
+        background=jnp.asarray(scene.background, jnp.float32),
+        camera=camera_basis(scene.camera),
+    )
+
+
+def _intersect_planes(prep: PreparedScene, o, d):
+    """Plane hits (Raytracer.cpp:74-98). Returns (t_world [N,P], valid [N,P])."""
+    n, c = prep.plane_nrow[:, :3], prep.plane_nrow[:, 3]
+    denom = d @ n.T                     # [N, P] object-space d.y
+    onum = o @ n.T + c[None, :]         # [N, P] object-space o.y
+    t_loc = -onum / jnp.where(denom == 0, 1.0, denom)
+    t = t_loc * prep.plane_det[None, :]
+    valid = (jnp.abs(denom) >= FLT_EPSILON) & (t_loc >= 0) & (t >= 0)
+    return jnp.where(valid, t, INF), t_loc
+
+
+def _intersect_spheres(prep: PreparedScene, o, d):
+    """Sphere hits via the stable quadratic (Raytracer.cpp:21-51).
+
+    Returns (t_world [N,S], t_loc [N,S], o_loc [N,S,3], d_loc [N,S,3])."""
+    o_loc = jnp.einsum("sij,nj->nsi", prep.sphere_inv3, o) + prep.sphere_invt[None, :, :]
+    d_loc = jnp.einsum("sij,nj->nsi", prep.sphere_inv3, d)
+    a = jnp.sum(d_loc * d_loc, -1)
+    b = 2.0 * jnp.sum(d_loc * o_loc, -1)
+    c = jnp.sum(o_loc * o_loc, -1) - prep.sphere_radius2[None, :]
+    discr = b * b - 4.0 * a * c
+    sq = jnp.sqrt(jnp.maximum(discr, 0.0))
+    q = jnp.where(b < 0, (-b - sq) * 0.5, (-b + sq) * 0.5)
+    t0 = q / jnp.where(a == 0, 1.0, a)
+    t1 = c / jnp.where(q == 0, 1.0, q)
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    t_loc = jnp.where(lo < 0, hi, lo)
+    t = t_loc * prep.sphere_det[None, :]
+    valid = (discr >= 0) & (hi >= 0) & (a != 0) & (q != 0) & (t >= 0)
+    return jnp.where(valid, t, INF), t_loc, o_loc, d_loc
+
+
+def _sphere_tangent(n):
+    """Smallest-component permutation tangent (Raytracer.cpp:55-64).
+
+    The reference NaNs when the permuted vector degenerates to zero (normal
+    exactly on a negative coordinate axis, measure-zero for jittered rays);
+    we instead fall back to a perpendicular built from a safe up axis."""
+    smallest = jnp.minimum(n[..., 2], jnp.minimum(n[..., 0], n[..., 1]))
+    tx = jnp.stack([jnp.zeros_like(n[..., 0]), -n[..., 2], n[..., 1]], -1)
+    ty = jnp.stack([-n[..., 2], jnp.zeros_like(n[..., 0]), n[..., 0]], -1)
+    tz = jnp.stack([-n[..., 1], n[..., 0], jnp.zeros_like(n[..., 0])], -1)
+    t = jnp.where(
+        (n[..., 0] == smallest)[..., None],
+        tx,
+        jnp.where((n[..., 1] == smallest)[..., None], ty, tz),
+    )
+    norm2 = jnp.sum(t * t, axis=-1, keepdims=True)
+    up = jnp.where(
+        (jnp.abs(n[..., 1]) < 0.9)[..., None],
+        jnp.array([0.0, 1.0, 0.0], n.dtype),
+        jnp.array([1.0, 0.0, 0.0], n.dtype),
+    )
+    fallback = jnp.cross(n, jnp.broadcast_to(up, n.shape))
+    t = jnp.where(norm2 < 1e-12, fallback, t)
+    return t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+
+
+def trace(prep: PreparedScene, o: jax.Array, d: jax.Array) -> SurfaceHit:
+    """Nearest hit over all objects; batched equivalent of Raytracer::trace."""
+    num_p = prep.plane_nrow.shape[0]
+    num_s = prep.sphere_radius2.shape[0]
+
+    parts_t, parts_tloc = [], []
+    if num_p:
+        tp, tp_loc = _intersect_planes(prep, o, d)
+        parts_t.append(tp)
+        parts_tloc.append(tp_loc)
+    if num_s:
+        ts, ts_loc, o_loc, d_loc = _intersect_spheres(prep, o, d)
+        parts_t.append(ts)
+        parts_tloc.append(ts_loc)
+    t_all = jnp.concatenate(parts_t, axis=1)
+    t_loc_all = jnp.concatenate(parts_tloc, axis=1)
+
+    obj = jnp.argmin(t_all, axis=1).astype(jnp.int32)
+    t = jnp.take_along_axis(t_all, obj[:, None], axis=1)[:, 0]
+    t_loc = jnp.take_along_axis(t_loc_all, obj[:, None], axis=1)[:, 0]
+    hit = jnp.isfinite(t)
+
+    is_sphere = obj >= num_p
+    sidx = jnp.clip(obj - num_p, 0, max(num_s - 1, 0))
+
+    if num_s:
+        os_hit = jnp.take_along_axis(o_loc, sidx[:, None, None], axis=1)[:, 0]
+        ds_hit = jnp.take_along_axis(d_loc, sidx[:, None, None], axis=1)[:, 0]
+        n_loc = os_hit + ds_hit * t_loc[:, None]
+        n_sph = jnp.einsum("nij,nj->ni", prep.sphere_fwd3[sidx], n_loc)
+        norm = jnp.linalg.norm(n_sph, axis=-1, keepdims=True)
+        n_sph = n_sph / jnp.where(norm == 0, 1.0, norm)
+        t_sph = _sphere_tangent(n_sph)
+    else:
+        n_sph = jnp.zeros_like(o)
+        t_sph = jnp.zeros_like(o)
+
+    if num_p:
+        pidx = jnp.clip(obj, 0, num_p - 1)
+        n_pl = prep.plane_normal[pidx]
+        t_pl = prep.plane_tangent[pidx]
+    else:
+        n_pl = jnp.zeros_like(o)
+        t_pl = jnp.zeros_like(o)
+
+    normal = jnp.where(is_sphere[:, None], n_sph, n_pl)
+    tangent = jnp.where(is_sphere[:, None], t_sph, t_pl)
+    binormal = jnp.cross(normal, tangent)
+
+    t_out = jnp.where(hit, t, INF)
+    return SurfaceHit(
+        t=t_out,
+        obj=jnp.where(hit, obj, -1),
+        position=o + d * jnp.where(hit, t, 0.0)[:, None],
+        normal=jnp.where(hit[:, None], normal, 0.0),
+        tangent=jnp.where(hit[:, None], tangent, 0.0),
+        binormal=jnp.where(hit[:, None], binormal, 0.0),
+        view=d,
+    )
