@@ -1,0 +1,46 @@
+"""Spherical emitters: solid-angle sampling, evaluation, pdfs.
+
+Spec: /root/reference/renderer/cpu/Light.cpp. Lights are emissive spheres;
+emission is direction-independent and not distance-attenuated (the solid-angle
+pdf accounts for geometry, Light.cpp:53-56). The pdf is also
+direction-independent: 1/Ω where Ω is the cone subtended by the sphere
+(Light.cpp:58-62) — this makes the MIS "light pdf along a BSDF ray" a simple
+per-hit-object lookup.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .sampling import PI
+
+
+def solid_angle(center, radius, position):
+    """Ω subtended by the sphere from ``position`` (Light.cpp:26-32);
+    full 4π when inside. cos(asin(x)) is computed as sqrt(1-x²)."""
+    dist = jnp.linalg.norm(center - position, axis=-1)
+    x = jnp.clip(radius / jnp.maximum(dist, 1e-30), 0.0, 1.0)
+    omega = 2.0 * PI * (1.0 - jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x)))
+    return jnp.where(dist < radius, 4.0 * PI, omega)
+
+
+def sample(u1, u2, u3, center, radius, position):
+    """Direction toward a point on the sphere + pdf = 1/Ω.
+
+    Disk-based construction from "Lightcuts" as in Light.cpp:34-51:
+    (x, y) on a disk of the sphere's radius, z picked on the chord through
+    it with a signed sine — *not* exactly uniform-in-solid-angle, but the
+    estimator divides by the solid-angle pdf exactly as the reference does."""
+    x = radius * jnp.sqrt(u1) * jnp.cos(2.0 * PI * u2)
+    y = radius * jnp.sqrt(u1) * jnp.sin(2.0 * PI * u2)
+    z = jnp.sqrt(jnp.maximum(0.0, radius * radius - x * x - y * y)) * jnp.sin(PI * (u3 - 0.5))
+    offset = jnp.stack([x, y, z], axis=-1)
+    d = center + offset - position
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    pdf = 1.0 / solid_angle(center, radius, position)
+    return d, pdf
+
+
+def pdf(center, radius, position):
+    """Density assigned to *any* direction: 1/Ω (Light.cpp:58-62)."""
+    return 1.0 / solid_angle(center, radius, position)
