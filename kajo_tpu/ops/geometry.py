@@ -218,6 +218,18 @@ def trace(prep: PreparedScene, o: jax.Array, d: jax.Array) -> SurfaceHit:
     """Nearest hit over all objects; batched equivalent of Raytracer::trace."""
     num_p = prep.plane_nrow.shape[0]
     num_s = prep.sphere_radius2.shape[0]
+    if num_p + num_s == 0:  # empty scene: every ray misses
+        n = o.shape[0]
+        z3 = jnp.zeros((n, 3), jnp.float32)
+        return SurfaceHit(
+            t=jnp.full((n,), INF),
+            obj=jnp.full((n,), -1, jnp.int32),
+            position=o,
+            normal=z3,
+            tangent=z3,
+            binormal=z3,
+            view=d,
+        )
 
     parts_t, parts_tloc = [], []
     if num_p:
