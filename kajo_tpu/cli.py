@@ -1,0 +1,131 @@
+"""Command-line renderer.
+
+Flag-compatible with the reference binary (spec /root/reference/renderer/
+Main.cpp:97-146: ``-w``, ``-h``, ``-r``, ``--help``, positional scene, no scene
+-> built-in test scene, writes out.png on exit) and promotes the reference's
+hardcoded knobs to flags (spp, depth, seed, epsilon — SURVEY.md §5 config
+table). Headless "preview": a per-pass status line with elapsed time,
+samples/pixel and SI-formatted samples/s, mirroring the reference preview's
+metrics (Preview.cpp:160-166), plus optional periodic PNG saves and
+checkpoint/resume of the progressive accumulation state.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="kajo",
+        description="TPU-native differentiable path tracer",
+        add_help=False,
+    )
+    p.add_argument("--help", action="help", help="show this help")
+    p.add_argument("-w", dest="width", type=int, default=640, help="image width (640)")
+    p.add_argument("-h", dest="height", type=int, default=480, help="image height (480)")
+    p.add_argument(
+        "-r",
+        dest="renderer",
+        default="jax",
+        choices=["jax", "cpu", "gl", "tpu"],
+        help="renderer backend (jax; cpu/gl accepted as aliases for parity)",
+    )
+    p.add_argument("scene", nargs="?", default=None, help="scene JSON (default: built-in test scene)")
+    p.add_argument("--spp", type=int, default=32, help="samples/pixel/pass (32, kajo default)")
+    p.add_argument("--passes", type=int, default=8, help="progressive passes (8; 0 = run until Ctrl-C)")
+    p.add_argument("--depth", type=int, default=8, help="max path depth (8)")
+    p.add_argument("--seed", type=int, default=0, help="RNG seed")
+    p.add_argument("--epsilon", type=float, default=1e-3, help="secondary-ray surface offset")
+    p.add_argument("--full-mis", action="store_true", help="unbiased full balance-heuristic MIS")
+    p.add_argument("--exact-spp", action="store_true", help="disable kajo's 25/32 spp quirk")
+    p.add_argument("--no-direct", action="store_true", help="disable NEE (pure BSDF path tracing)")
+    p.add_argument("-o", "--out", default="out.png", help="output PNG (out.png)")
+    p.add_argument("--save-every", type=int, default=0, help="also save PNG every N passes")
+    p.add_argument("--checkpoint", default=None, help="progressive-state checkpoint file (.npz)")
+    p.add_argument("--resume", action="store_true", help="resume from --checkpoint if present")
+    p.add_argument("--platform", default=None, help="force a jax platform (e.g. cpu)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    from .models.integrator import RenderConfig, render_pass
+    from .scene import parser
+    from .scene.testscene import build_test_scene
+    from .utils.format import format_si
+    from .utils.image import save_png
+
+    aspect = args.width / args.height
+    if args.scene:
+        scene = parser.load(args.scene, aspect)
+    else:
+        scene = build_test_scene(aspect)
+
+    config = RenderConfig(
+        max_depth=args.depth,
+        surface_epsilon=args.epsilon,
+        direct_lighting=not args.no_direct,
+        full_mis=args.full_mis,
+        kajo_spp_quirk=not args.exact_spp,
+    )
+    key = jax.random.PRNGKey(args.seed)
+    grid = max(int(args.spp**0.5), 1)
+    eff_spp = grid * grid
+
+    total = np.zeros((args.height, args.width, 4), np.float32)
+    start_pass = 0
+    if args.resume and args.checkpoint:
+        try:
+            ck = np.load(args.checkpoint)
+            total = ck["total"]
+            start_pass = int(ck["passes"])
+            print(f"resumed from {args.checkpoint} at pass {start_pass}", file=sys.stderr)
+        except FileNotFoundError:
+            pass
+
+    n_passes = args.passes if args.passes > 0 else 1 << 30
+    t0 = time.time()
+    samples_done = 0
+    done = start_pass
+    try:
+        for p in range(start_pass, start_pass + n_passes):
+            pass_img = render_pass(
+                scene, jax.random.fold_in(key, p), args.width, args.height, args.spp, config
+            )
+            total += np.asarray(pass_img)
+            done = p + 1
+            samples_done += args.width * args.height * eff_spp
+            elapsed = time.time() - t0
+            rate = samples_done / max(elapsed, 1e-9)
+            print(
+                f"pass {done}: {args.width}x{args.height}, {elapsed:.1f}s, "
+                f"{done * eff_spp} samples/pixel, {format_si(rate)} samples/s",
+                file=sys.stderr,
+            )
+            if args.save_every and done % args.save_every == 0:
+                save_png(args.out, total / done)
+            if args.checkpoint:
+                np.savez(args.checkpoint, total=total, passes=done, seed=args.seed)
+    except KeyboardInterrupt:
+        print("interrupted, saving", file=sys.stderr)
+
+    if done > 0:
+        save_png(args.out, total / done)
+        print(f"saved {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,122 @@
+"""Differentiable rendering and inverse-rendering optimization.
+
+The integrator is differentiable end-to-end w.r.t. the scene pytree (sphere
+transforms/radii, all material fields, camera): `prepare_scene` derives
+inverses/determinants with jnp, samples are reparameterized, and discrete
+branch probabilities are detached inside the integrator (see
+models/integrator.py docstring). Visibility/silhouette discontinuities are
+not edge-sampled yet — gradients are exact for shading/geometry terms and
+biased only at object silhouettes (standard for first-order differentiable
+path tracers).
+
+This module provides the BASELINE.md config-4 workflow: recover sphere
+position/radius/albedo from a target render by gradient descent, with
+scene-parameter gradients all-reduced over the mesh automatically by XLA
+(replicated params + sharded rays).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.integrator import RenderConfig
+from ..parallel.render import render_pass_sharded
+from ..scene.types import Scene
+
+# Leaves exposed to the optimizer by default (config 4: position/radius/albedo).
+DEFAULT_PARAM_SPEC = ("sphere_transform", "sphere_radius", "diffuse")
+
+
+def extract_params(scene: Scene, spec=DEFAULT_PARAM_SPEC) -> Dict[str, jax.Array]:
+    params = {}
+    for name in spec:
+        if hasattr(scene, name):
+            params[name] = jnp.asarray(getattr(scene, name), jnp.float32)
+        else:
+            params[name] = jnp.asarray(getattr(scene.materials, name), jnp.float32)
+    return params
+
+
+def apply_params(scene: Scene, params: Dict[str, jax.Array]) -> Scene:
+    mats = scene.materials
+    scene_updates: Dict[str, Any] = {}
+    mat_updates: Dict[str, Any] = {}
+    for name, value in params.items():
+        if hasattr(scene, name):
+            scene_updates[name] = value
+        else:
+            mat_updates[name] = value
+    if mat_updates:
+        mats = dataclasses.replace(mats, **mat_updates)
+    return dataclasses.replace(scene, materials=mats, **scene_updates)
+
+
+def render_loss(
+    params,
+    scene: Scene,
+    target: jax.Array,
+    key: jax.Array,
+    width: int,
+    height: int,
+    spp: int,
+    config: RenderConfig = RenderConfig(),
+    mesh=None,
+):
+    """L2 loss between a fresh stochastic render and the target [H, W, 4]."""
+    img = render_pass_sharded(apply_params(scene, params), key, width, height, spp, config, mesh)
+    diff = img[..., :3] - target[..., :3]
+    return jnp.mean(diff * diff)
+
+
+@dataclasses.dataclass
+class InverseRenderer:
+    """Adam loop recovering scene parameters from a target image."""
+
+    scene: Scene
+    target: jax.Array
+    width: int
+    height: int
+    spp: int = 4
+    learning_rate: float = 2e-2
+    config: RenderConfig = RenderConfig()
+    mesh: Any = None
+    param_spec: tuple = DEFAULT_PARAM_SPEC
+
+    def __post_init__(self):
+        self.params = extract_params(self.scene, self.param_spec)
+        self.opt = optax.adam(self.learning_rate)
+        self.opt_state = self.opt.init(self.params)
+
+        cfg, mesh = self.config, self.mesh
+        w, h, spp = self.width, self.height, self.spp
+
+        @jax.jit
+        def step(params, opt_state, scene, target, key):
+            loss, grads = jax.value_and_grad(render_loss)(
+                params, scene, target, key, w, h, spp, cfg, mesh
+            )
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        self._step = step
+
+    def step(self, key: jax.Array):
+        self.params, self.opt_state, loss = self._step(
+            self.params, self.opt_state, self.scene, self.target, key
+        )
+        return float(loss)
+
+    def run(self, steps: int, key: jax.Array):
+        losses = []
+        for i in range(steps):
+            losses.append(self.step(jax.random.fold_in(key, i)))
+        return losses
+
+    def current_scene(self) -> Scene:
+        return apply_params(self.scene, self.params)

@@ -298,7 +298,12 @@ def render_samples(
         )
         return new_state, None
 
-    state, _ = jax.lax.scan(bounce, state, jnp.arange(config.max_depth + 1))
+    # remat each bounce: the backward pass recomputes per-bounce internals
+    # (trace candidates, NEE arrays) from the ~30-float/lane carry instead of
+    # storing O(bounces x rays x objects) residuals — HBM is the bottleneck
+    state, _ = jax.lax.scan(
+        jax.checkpoint(bounce, prevent_cse=False), state, jnp.arange(config.max_depth + 1)
+    )
     return state["radiance"]
 
 
@@ -348,7 +353,9 @@ def render_pass(
         return carry + rad, None
 
     total, _ = jax.lax.scan(
-        stratum, jnp.zeros((width * height, 4), jnp.float32), jnp.arange(eff)
+        jax.checkpoint(stratum, prevent_cse=False),
+        jnp.zeros((width * height, 4), jnp.float32),
+        jnp.arange(eff),
     )
     return (total / divisor).reshape(height, width, 4)
 
