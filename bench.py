@@ -54,6 +54,7 @@ def main():
     import jax
 
     from kajo_tpu.models.integrator import RenderConfig, render_pass
+    from kajo_tpu.models.wavefront import render_pass_fast
     from kajo_tpu.scene import parser
 
     scene = parser.load(SCENE, W / H)
@@ -63,13 +64,13 @@ def main():
     eff = grid * grid
     samples_per_pass = W * H * eff
 
-    # warmup/compile
-    render_pass(scene, key, W, H, SPP, config).block_until_ready()
+    # warmup/compile (regenerating wavefront engine)
+    render_pass_fast(scene, key, W, H, SPP, config).block_until_ready()
 
     n_timed = 3
     t0 = time.time()
     for i in range(n_timed):
-        img = render_pass(scene, jax.random.fold_in(key, i + 1), W, H, SPP, config)
+        img = render_pass_fast(scene, jax.random.fold_in(key, i + 1), W, H, SPP, config)
     img.block_until_ready()
     dt = time.time() - t0
     samples_per_s = n_timed * samples_per_pass / dt

@@ -49,6 +49,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None, help="progressive-state checkpoint file (.npz)")
     p.add_argument("--resume", action="store_true", help="resume from --checkpoint if present")
     p.add_argument("--platform", default=None, help="force a jax platform (e.g. cpu)")
+    p.add_argument(
+        "--engine",
+        default="fast",
+        choices=["fast", "parity"],
+        help="fast = regenerating wavefront (default); parity = fixed-shape scan "
+        "(differentiable, bit-spec of the estimator)",
+    )
     return p
 
 
@@ -62,6 +69,7 @@ def main(argv=None) -> int:
     import jax
 
     from .models.integrator import RenderConfig, render_pass
+    from .models.wavefront import render_pass_fast
     from .scene import parser
     from .scene.testscene import build_test_scene
     from .utils.format import format_si
@@ -101,7 +109,8 @@ def main(argv=None) -> int:
     done = start_pass
     try:
         for p in range(start_pass, start_pass + n_passes):
-            pass_img = render_pass(
+            render = render_pass_fast if args.engine == "fast" else render_pass
+            pass_img = render(
                 scene, jax.random.fold_in(key, p), args.width, args.height, args.spp, config
             )
             total += np.asarray(pass_img)

@@ -1,0 +1,322 @@
+"""Production wavefront renderer with lane regeneration.
+
+Computes the *same estimator* as models/integrator.py (the parity-spec module;
+see its docstring for the full semantics derivation) but restructured for TPU
+throughput:
+
+  * **lane regeneration** — one lane per pixel; when a path terminates the
+    lane immediately starts that pixel's next stratified sample instead of
+    idling until the fixed bounce loop drains. This is the reference GL
+    backend's occupancy trick (gl/SurfaceShader.cpp:88-93) made exact: the
+    loop runs under `lax.while_loop` until every lane has finished all its
+    samples, so per-pixel sample counts equal the parity path's exactly.
+    Expected iterations ~ spp * E[path length] instead of spp * (depth+1):
+    with Russian-roulette survival ~0.25-0.5 that is a 3-5x utilization win;
+  * **counter-based PCG4D uniforms** addressed by (pixel, sample, depth,
+    purpose) — stateless, so regeneration stays deterministic under any
+    sharding, and ~10x cheaper than threefry per word (ops/rng.py);
+  * **vec3 color state** — the reference's vec4 alpha channel never feeds
+    back into RGB (verified against cpu/Shader.cpp), so the wavefront carries
+    RGB only;
+  * rigid scenes use the MXU ray-sphere path automatically (ops/geometry.py).
+
+`lax.while_loop` has no reverse-mode derivative: this module is the forward/
+rendering path; gradients use the fixed-shape scan in models/integrator.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.integrator import RenderConfig
+from ..ops import bsdf, lights, sampling
+from ..ops.geometry import PreparedScene, generate_rays, prepare_scene, trace
+from ..ops.rng import seed_from_key, uniforms4
+from ..scene.types import Scene
+
+_CAMERA_SALT = jnp.uint32(0x7FFFFFFF)
+
+
+def _maxrgb(c):
+    return jnp.max(c, axis=-1)
+
+
+def _camera_ray(prep, lane, sample, seed, width, height, grid):
+    px = (lane % width).astype(jnp.float32)
+    py = (lane // width).astype(jnp.float32)
+    gx = (sample % grid).astype(jnp.float32)
+    gy = (sample // grid).astype(jnp.float32)
+    u1, u2, _, _ = uniforms4(lane, sample.astype(jnp.uint32), _CAMERA_SALT, seed)
+    sx = (px + (gx + u1) / grid) / width
+    sy = ((height - py) + (gy + u2) / grid) / height
+    return generate_rays(prep.camera, sx, sy)
+
+
+def _nee3(prep, hit, mat, u_l, m_lambert, m_phong, eps):
+    """NEE over emissive spheres, RGB only. u_l: [3, N, L]."""
+    num_l = prep.light_obj.shape[0]
+    n = hit.position.shape[0]
+    pos = hit.position[:, None, :]
+    center = prep.light_center[None, :, :]
+    radius = prep.light_radius[None, :]
+    dir_l, pdf_l = lights.sample(u_l[0], u_l[1], u_l[2], center, radius, pos)
+
+    sh = trace(prep, (pos + dir_l * eps).reshape(n * num_l, 3), dir_l.reshape(n * num_l, 3))
+    visible = sh.obj.reshape(n, num_l) == prep.light_obj[None, :]
+    not_self = hit.obj[:, None] != prep.light_obj[None, :]
+
+    normal = hit.normal[:, None, :]
+    view = hit.view[:, None, :]
+    exp = mat["specular_exponent"][:, None]
+    pdf_b = jnp.where(
+        m_lambert[:, None],
+        bsdf.lambert_pdf(normal, dir_l),
+        jnp.where(m_phong[:, None], bsdf.phong_pdf(view, normal, dir_l, exp), 0.0),
+    )
+    fcos = jnp.where(
+        m_lambert[:, None, None],
+        bsdf.lambert_eval_cos(mat["diffuse"][:, None, :], normal, dir_l),
+        jnp.where(
+            m_phong[:, None, None],
+            bsdf.phong_eval_cos(mat["specular"][:, None, :], view, normal, dir_l, exp),
+            0.0,
+        ),
+    )
+    ok = visible & not_self & (pdf_b != 0) & (pdf_l > 0)
+    weight = jnp.where(ok, 1.0 / (pdf_b + pdf_l), 0.0)
+    return jnp.sum(weight[..., None] * fcos * prep.light_emission[None, :, :3], axis=1)
+
+
+def _light_pdf_for_hit3(prep, hit_obj, prev_obj, prev_pos):
+    if prep.light_obj.shape[0] == 0:
+        return jnp.zeros(hit_obj.shape, jnp.float32)
+    is_light = hit_obj[:, None] == prep.light_obj[None, :]
+    not_self = prev_obj[:, None] != prep.light_obj[None, :]
+    pdf = lights.pdf(
+        prep.light_center[None, :, :], prep.light_radius[None, :], prev_pos[:, None, :]
+    )
+    return jnp.sum(jnp.where(is_light & not_self, pdf, 0.0), axis=1)
+
+
+def render_lanes(
+    prep: PreparedScene,
+    lane: jax.Array,
+    seed: jax.Array,
+    width: int,
+    height: int,
+    eff_spp: int,
+    grid: int,
+    config: RenderConfig,
+) -> jax.Array:
+    """Run ``eff_spp`` full paths per lane with regeneration; returns the
+    per-lane radiance sum [N, 3] (divide by spp outside)."""
+    n = lane.shape[0]
+    num_lights = prep.light_obj.shape[0]
+    eps = jnp.float32(config.surface_epsilon)
+    mat3 = {
+        "diffuse": prep.materials.diffuse[:, :3],
+        "specular": prep.materials.specular[:, :3],
+        "emission": prep.materials.emission[:, :3],
+        "transparency": prep.materials.transparency[:, :3],
+        "specular_exponent": prep.materials.specular_exponent,
+        "refractive_index": prep.materials.refractive_index,
+    }
+    bg = prep.background[:3]
+    emit_after_scatter = (not config.direct_lighting) or config.full_mis
+
+    sample0 = jnp.zeros((n,), jnp.int32)
+    o0, d0 = _camera_ray(prep, lane, sample0, seed, width, height, grid)
+    state = dict(
+        sample=sample0,
+        depth=jnp.zeros((n,), jnp.int32),
+        o=o0,
+        d=d0,
+        throughput=jnp.ones((n, 3), jnp.float32),
+        radiance=jnp.zeros((n, 3), jnp.float32),
+        emit=jnp.ones((n,), bool),
+        mis_pending=jnp.zeros((n,), bool),
+        pend_pdf_b=jnp.ones((n,), jnp.float32),
+        pend_fcos=jnp.ones((n, 3), jnp.float32),
+        pend_delta=jnp.zeros((n,), bool),
+        prev_obj=jnp.full((n,), -1, jnp.int32),
+        prev_pos=jnp.zeros((n, 3), jnp.float32),
+    )
+
+    ncalls = -(-(5 + 3 * num_lights) // 4)  # uniform4 calls per vertex
+
+    def cond(state):
+        return jnp.any(state["sample"] < eff_spp)
+
+    def body(state):
+        active = state["sample"] < eff_spp
+        sample_u = state["sample"].astype(jnp.uint32)
+        depth = state["depth"]
+        salt0 = depth.astype(jnp.uint32) * jnp.uint32(ncalls)
+        us = []
+        for i in range(ncalls):
+            us.extend(uniforms4(lane, sample_u, salt0 + jnp.uint32(i), seed))
+        # us[0]=rr, us[1]=transparency coin, us[2]=diffuse coin,
+        # us[3], us[4]=bsdf sample, us[5:5+3L]=NEE
+
+        hit = trace(prep, state["o"], state["d"])
+        was_hit = hit.obj >= 0
+        t = state["throughput"]
+        r = state["radiance"]
+
+        # deferred MIS weight from previous vertex
+        pdf_l_vis = _light_pdf_for_hit3(prep, hit.obj, state["prev_obj"], state["prev_pos"])
+        if config.full_mis:
+            pdf_l_vis = jnp.where(state["pend_delta"], 0.0, pdf_l_vis)
+        denom = pdf_l_vis + state["pend_pdf_b"]
+        weight = state["pend_fcos"] / jnp.where(denom == 0, 1.0, denom)[:, None]
+        t = jnp.where((state["mis_pending"] & active)[:, None], t * weight, t)
+
+        # miss -> background, path ends
+        miss = active & ~was_hit
+        r = r + jnp.where(miss[:, None], t * bg[None, :], 0.0)
+        on_path = active & was_hit
+
+        mat = jax.tree.map(lambda a: a[jnp.maximum(hit.obj, 0)], mat3)
+
+        # Russian roulette + depth limit
+        p_rr = _maxrgb(jnp.maximum(jnp.maximum(mat["diffuse"], mat["specular"]), mat["transparency"]))
+        cont, prob_rr = sampling.flip_coin(us[0], jax.lax.stop_gradient(p_rr))
+        t = jnp.where(on_path[:, None], t / prob_rr[:, None], t)
+        t_kill = t
+        emitter = on_path & state["emit"]
+        survive = on_path & cont & (depth < config.max_depth)
+
+        # lottery
+        sum_d = jnp.sum(mat["diffuse"], -1)
+        sum_s = jnp.sum(mat["specular"], -1)
+        sum_t = jnp.sum(mat["transparency"], -1)
+        total = sum_d + sum_s + sum_t
+        p_t = jnp.where(total > 0, sum_t / jnp.where(total == 0, 1.0, total), 0.0)
+        transmit, prob_t = sampling.flip_coin(us[1], jax.lax.stop_gradient(p_t))
+        t = jnp.where(survive[:, None], t / prob_t[:, None], t)
+        ds = sum_d + sum_s
+        p_d = jnp.where(ds > 0, sum_d / jnp.where(ds == 0, 1.0, ds), 0.0)
+        diff, prob_d = sampling.flip_coin(us[2], jax.lax.stop_gradient(p_d))
+        t = jnp.where((survive & ~transmit)[:, None], t / prob_d[:, None], t)
+
+        m_transmit = survive & transmit
+        m_lambert = survive & ~transmit & diff
+        m_phong = survive & ~transmit & ~diff & (mat["specular_exponent"] > 0)
+        m_mirror = survive & ~transmit & ~diff & (mat["specular_exponent"] <= 0)
+        scatter = m_lambert | m_phong | m_mirror
+
+        # NEE
+        if config.direct_lighting and num_lights:
+            u_l = jnp.stack(us[5 : 5 + 3 * num_lights]).reshape(3, num_lights, n).transpose(0, 2, 1)
+            nee = _nee3(prep, hit, mat, u_l, m_lambert, m_phong, eps)
+            r = r + jnp.where(scatter[:, None], t * nee, 0.0)
+
+        # continuation
+        d_trans, _ = bsdf.transmission_sample(hit.view, hit.normal, mat["refractive_index"])
+        d_lam, pdf_lam = bsdf.lambert_sample(us[3], us[4], hit.tangent, hit.binormal, hit.normal)
+        d_ph, pdf_ph = bsdf.phong_sample(us[3], us[4], hit.view, hit.normal, mat["specular_exponent"])
+        d_mir, _ = bsdf.reflector_sample(hit.view, hit.normal)
+
+        new_d = jnp.where(
+            m_transmit[:, None],
+            d_trans,
+            jnp.where(m_lambert[:, None], d_lam, jnp.where(m_phong[:, None], d_ph, d_mir)),
+        )
+        pdf_b = jnp.where(m_lambert, pdf_lam, jnp.where(m_phong, pdf_ph, jnp.ones_like(pdf_lam)))
+        fcos = jnp.where(
+            m_transmit[:, None],
+            bsdf.transmission_eval_abscos(mat["specular"], hit.normal, d_trans),
+            jnp.where(
+                m_lambert[:, None],
+                bsdf.lambert_eval_cos(mat["diffuse"], hit.normal, d_lam),
+                jnp.where(
+                    m_phong[:, None],
+                    bsdf.phong_eval_cos(
+                        mat["specular"], hit.view, hit.normal, d_ph, mat["specular_exponent"]
+                    ),
+                    bsdf.reflector_eval_cos(mat["specular"], hit.normal, d_mir),
+                ),
+            ),
+        )
+
+        t = jnp.where(m_transmit[:, None], t * fcos, t)
+        r = r + jnp.where(
+            emitter[:, None], jnp.where(survive[:, None], t, t_kill) * mat["emission"], 0.0
+        )
+        continuing = survive & (m_transmit | (pdf_b != 0))
+
+        # ---- regeneration: ended paths start the lane's next sample --------
+        path_end = active & ~continuing
+        new_sample = jnp.where(path_end, state["sample"] + 1, state["sample"])
+        o_cam, d_cam = _camera_ray(
+            prep, lane, jnp.minimum(new_sample, eff_spp - 1), seed, width, height, grid
+        )
+        regen = path_end
+
+        new_o = jnp.where(
+            continuing[:, None], hit.position + new_d * eps, jnp.where(regen[:, None], o_cam, state["o"])
+        )
+        new_dir = jnp.where(
+            continuing[:, None], new_d, jnp.where(regen[:, None], d_cam, state["d"])
+        )
+        return dict(
+            sample=new_sample,
+            depth=jnp.where(path_end, 0, depth + 1),
+            o=new_o,
+            d=new_dir,
+            throughput=jnp.where(path_end[:, None], 1.0, t),
+            radiance=r,
+            emit=jnp.where(
+                path_end, True, jnp.where(scatter, jnp.full_like(path_end, emit_after_scatter), state["emit"])
+            ),
+            mis_pending=jnp.where(path_end, False, scatter),
+            pend_pdf_b=jnp.where(scatter & ~path_end, pdf_b, 1.0),
+            pend_fcos=jnp.where((scatter & ~path_end)[:, None], fcos, 1.0),
+            pend_delta=m_mirror & ~path_end,
+            prev_obj=jnp.where(scatter & ~path_end, hit.obj, -1),
+            prev_pos=jnp.where((scatter & ~path_end)[:, None], hit.position, 0.0),
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state["radiance"]
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
+def render_pass_fast(
+    scene: Scene,
+    key: jax.Array,
+    width: int,
+    height: int,
+    spp: int,
+    config: RenderConfig = RenderConfig(),
+) -> jax.Array:
+    """One progressive pass via the regenerating wavefront -> [H, W, 4]."""
+    prep = prepare_scene(scene)
+    grid = max(int(spp**0.5), 1)
+    eff = grid * grid
+    divisor = float(spp if config.kajo_spp_quirk else eff)
+
+    n = width * height
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    seed = seed_from_key(key)
+    rgb = render_lanes(prep, lane, seed, width, height, eff, grid, config) / divisor
+    img = jnp.concatenate([rgb, jnp.ones((n, 1), jnp.float32)], axis=1)
+    return img.reshape(height, width, 4)
+
+
+def render_image_fast(
+    scene: Scene,
+    width: int,
+    height: int,
+    spp: int,
+    key: jax.Array,
+    passes: int = 1,
+    config: RenderConfig = RenderConfig(),
+) -> jax.Array:
+    total = jnp.zeros((height, width, 4), jnp.float32)
+    for p in range(passes):
+        total = total + render_pass_fast(scene, jax.random.fold_in(key, p), width, height, spp, config)
+    return total / passes

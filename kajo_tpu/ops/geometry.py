@@ -39,8 +39,10 @@ INF = jnp.float32(jnp.inf)
 
 def _pytree_dataclass(cls):
     cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    meta = [f for f in fields if f in getattr(cls, "_static_fields", ())]
     jax.tree_util.register_dataclass(
-        cls, data_fields=[f.name for f in dataclasses.fields(cls)], meta_fields=[]
+        cls, data_fields=[f for f in fields if f not in meta], meta_fields=meta
     )
     return cls
 
@@ -57,7 +59,17 @@ class CameraBasis:
 
 @_pytree_dataclass
 class PreparedScene:
-    """Derived, trace-ready scene. All leaves are functions of Scene leaves."""
+    """Derived, trace-ready scene. All leaves are functions of Scene leaves.
+
+    ``rigid`` is static: True when every sphere transform is rigid
+    (orthonormal linear part, det +1, checked at scene load). Rigid scenes
+    use the fast world-space sphere path: the ray-sphere quadratic reduces to
+    two [N,3]x[3,S] matmuls (MXU) plus elementwise work, with *identical*
+    results to the reference's object-space formulation (R^T preserves
+    lengths, det=1 makes the t-scaling a no-op, and the world normal equals
+    (hit - center)/radius exactly)."""
+
+    _static_fields = ("rigid",)
 
     # planes: only the inverse-matrix row that yields object-space y is needed
     plane_nrow: jax.Array     # [P, 4]  (inv[1, :]) — o_loc.y = nrow[:3]·o + nrow[3]
@@ -70,6 +82,8 @@ class PreparedScene:
     sphere_fwd3: jax.Array    # [S, 3, 3]
     sphere_det: jax.Array     # [S]
     sphere_radius2: jax.Array # [S]
+    sphere_center: jax.Array  # [S, 3] world-space centers (translation column)
+    rigid: bool
     # lights (emissive spheres; static subset chosen at scene build)
     light_center: jax.Array   # [L, 3] world-space sphere center
     light_radius: jax.Array   # [L]
@@ -125,7 +139,12 @@ def prepare_scene(scene: Scene) -> PreparedScene:
     radius = jnp.asarray(scene.sphere_radius, jnp.float32)
 
     plane_inv = jnp.linalg.inv(pt) if pt.shape[0] else pt
-    sphere_inv = jnp.linalg.inv(st) if st.shape[0] else st
+    rigid = bool(getattr(scene, "rigid_spheres", False))
+    # rigid scenes never touch the object-space sphere fields; skip the
+    # per-sphere 4x4 inversions (matters at 100k spheres)
+    sphere_inv = (
+        st[:0] if rigid else (jnp.linalg.inv(st) if st.shape[0] else st)
+    )
 
     num_planes = pt.shape[0]
     light_idx = jnp.asarray(scene.light_indices, jnp.int32).reshape(-1)
@@ -140,9 +159,13 @@ def prepare_scene(scene: Scene) -> PreparedScene:
         plane_tangent=pt[:, :3, 0],
         sphere_inv3=sphere_inv[:, :3, :3],
         sphere_invt=sphere_inv[:, :3, 3],
-        sphere_fwd3=st[:, :3, :3],
-        sphere_det=jnp.linalg.det(st) if st.shape[0] else jnp.zeros((0,), jnp.float32),
+        sphere_fwd3=st[:0, :3, :3] if rigid else st[:, :3, :3],
+        sphere_det=jnp.zeros((0,), jnp.float32)
+        if rigid
+        else (jnp.linalg.det(st) if st.shape[0] else jnp.zeros((0,), jnp.float32)),
         sphere_radius2=radius * radius,
+        sphere_center=st[:, :3, 3],
+        rigid=rigid,
         light_center=light_transform[:, :3, 3],
         light_radius=radius[light_idx] if len(scene.light_indices) else radius[:0],
         light_emission=materials.emission[num_planes + light_idx]
@@ -186,6 +209,30 @@ def _intersect_spheres(prep: PreparedScene, o, d):
     t = t_loc * prep.sphere_det[None, :]
     valid = (discr >= 0) & (hi >= 0) & (a != 0) & (q != 0) & (t >= 0)
     return jnp.where(valid, t, INF), t_loc, o_loc, d_loc
+
+
+def _intersect_spheres_rigid(prep: PreparedScene, o, d):
+    """World-space sphere hits for rigid scenes: |o + t d - c|² = r² with
+    |d| = 1. The ray-dependent work is two [N,3]x[3,S] matmuls (MXU); results
+    match the object-space path exactly (isometry + det 1). Returns t [N,S]."""
+    c = prep.sphere_center  # [S, 3]
+    d_dot_c = d @ c.T  # [N, S]
+    o_dot_c = o @ c.T  # [N, S]
+    d_dot_o = jnp.sum(d * o, -1, keepdims=True)  # [N, 1]
+    o2 = jnp.sum(o * o, -1, keepdims=True)  # [N, 1]
+    cc = jnp.sum(c * c, -1) - prep.sphere_radius2  # [S]
+    b = 2.0 * (d_dot_o - d_dot_c)
+    cq = o2 - 2.0 * o_dot_c + cc[None, :]
+    discr = b * b - 4.0 * cq
+    sq = jnp.sqrt(jnp.maximum(discr, 0.0))
+    q = jnp.where(b < 0, (-b - sq) * 0.5, (-b + sq) * 0.5)
+    t0 = q  # a == 1
+    t1 = cq / jnp.where(q == 0, 1.0, q)
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    t = jnp.where(lo < 0, hi, lo)
+    valid = (discr >= 0) & (hi >= 0) & (q != 0) & (t >= 0)
+    return jnp.where(valid, t, INF)
 
 
 def _sphere_tangent(n):
@@ -237,7 +284,11 @@ def trace(prep: PreparedScene, o: jax.Array, d: jax.Array) -> SurfaceHit:
         parts_t.append(tp)
         parts_tloc.append(tp_loc)
     if num_s:
-        ts, ts_loc, o_loc, d_loc = _intersect_spheres(prep, o, d)
+        if prep.rigid:
+            ts = _intersect_spheres_rigid(prep, o, d)
+            ts_loc = ts  # det == 1: world t equals object-space t
+        else:
+            ts, ts_loc, o_loc, d_loc = _intersect_spheres(prep, o, d)
         parts_t.append(ts)
         parts_tloc.append(ts_loc)
     t_all = jnp.concatenate(parts_t, axis=1)
@@ -251,7 +302,14 @@ def trace(prep: PreparedScene, o: jax.Array, d: jax.Array) -> SurfaceHit:
     is_sphere = obj >= num_p
     sidx = jnp.clip(obj - num_p, 0, max(num_s - 1, 0))
 
-    if num_s:
+    if num_s and prep.rigid:
+        # world normal = (hit point - center) / radius, normalized like the ref
+        hit_pos = o + d * jnp.where(hit, t, 0.0)[:, None]
+        n_sph = hit_pos - prep.sphere_center[sidx]
+        norm = jnp.linalg.norm(n_sph, axis=-1, keepdims=True)
+        n_sph = n_sph / jnp.where(norm == 0, 1.0, norm)
+        t_sph = _sphere_tangent(n_sph)
+    elif num_s:
         os_hit = jnp.take_along_axis(o_loc, sidx[:, None, None], axis=1)[:, 0]
         ds_hit = jnp.take_along_axis(d_loc, sidx[:, None, None], axis=1)[:, 0]
         n_loc = os_hit + ds_hit * t_loc[:, None]

@@ -84,7 +84,7 @@ class Scene:
     only — planes never act as lights, cpu/Shader.cpp:188).
     """
 
-    _static_fields = ("light_indices",)
+    _static_fields = ("light_indices", "rigid_spheres")
 
     camera: Camera
     background: jax.Array        # [4]
@@ -93,6 +93,10 @@ class Scene:
     sphere_radius: jax.Array     # [S]
     materials: Materials         # K = P + S entries, planes first
     light_indices: Tuple[int, ...]
+    # True when every sphere transform is rigid (orthonormal linear part,
+    # det +1): enables the fast world-space trace path with results identical
+    # to the reference's object-space math. Checked once at load time.
+    rigid_spheres: bool = False
 
     @property
     def num_planes(self) -> int:
@@ -144,6 +148,19 @@ def make_scene(camera: Camera, background, planes, spheres) -> Scene:
     emission = mat_arrays["emission"][p:]
     light_indices = tuple(int(i) for i in range(s) if np.any(emission[i] != 0.0))
 
+    linear = sphere_t[:, :3, :3]
+    rigid = bool(
+        s == 0
+        or (
+            np.allclose(
+                np.einsum("sij,skj->sik", linear, linear),
+                np.eye(3, dtype=np.float32)[None],
+                atol=1e-5,
+            )
+            and np.allclose(np.linalg.det(linear), 1.0, atol=1e-5)
+        )
+    )
+
     return Scene(
         camera=camera,
         background=np.asarray(background, np.float32),
@@ -152,6 +169,7 @@ def make_scene(camera: Camera, background, planes, spheres) -> Scene:
         sphere_radius=sphere_r,
         materials=Materials(**mat_arrays),
         light_indices=light_indices,
+        rigid_spheres=rigid,
     )
 
 

@@ -125,3 +125,34 @@ def test_camera_basis_matches_reference_goldens():
     np.testing.assert_allclose(
         np.asarray(basis.p1), [-5.89046764, -0.747805119, 3.9933548], atol=1e-5
     )
+
+
+def test_rigid_fast_path_matches_general_path():
+    # same scene traced via the world-space fast path and the object-space
+    # general path must agree to float tolerance
+    import dataclasses
+    import jax
+
+    scene = parser.load(f"{REFERENCE_DATA}/spheres.json", 4.0 / 3.0)
+    assert scene.rigid_spheres
+    general = dataclasses.replace(scene, rigid_spheres=False)
+
+    xs, ys = jnp.meshgrid(jnp.linspace(0.01, 0.99, 48), jnp.linspace(0.01, 0.99, 32))
+    for sc in [scene]:
+        prep_r = geometry.prepare_scene(scene)
+        prep_g = geometry.prepare_scene(general)
+        o, d = geometry.generate_rays(prep_r.camera, xs.ravel(), ys.ravel())
+        hr = geometry.trace(prep_r, o, d)
+        hg = geometry.trace(prep_g, o, d)
+        np.testing.assert_array_equal(np.asarray(hr.obj), np.asarray(hg.obj))
+        np.testing.assert_allclose(np.asarray(hr.t), np.asarray(hg.t), rtol=2e-5)
+        # grazing rays see slightly different catastrophic-cancellation noise
+        # between the two (mathematically identical) quadratic arrangements
+        np.testing.assert_allclose(np.asarray(hr.normal), np.asarray(hg.normal), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(hr.tangent), np.asarray(hg.tangent), atol=5e-3)
+
+
+def test_scaled_scene_not_rigid():
+    t = math3d.scale(math3d.identity(), [2, 2, 2])
+    scene = _scene_from_objects(spheres=[{"transform": t, "radius": 1.0, "material": {}}])
+    assert not scene.rigid_spheres

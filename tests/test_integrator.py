@@ -116,3 +116,27 @@ def test_kajo_spp_quirk():
         render_pass(scene, jax.random.PRNGKey(2), 16, 12, 32, config=RenderConfig(kajo_spp_quirk=False))
     )
     np.testing.assert_allclose(a, b * 25.0 / 32.0, rtol=1e-5)
+
+
+def test_wavefront_fast_matches_reference_golden():
+    from kajo_tpu.models.wavefront import render_image_fast
+
+    scene = parser.load(f"{REFERENCE_DATA}/spheres.json", 32 / 24)
+    img = np.asarray(render_image_fast(scene, 32, 24, 16, jax.random.PRNGKey(13), passes=8))
+    ref = _golden("spheres_32x24.raw")
+    assert np.isfinite(img).all()
+    mad = np.abs(_tm(img) - _tm(ref)).mean()
+    assert mad < 0.09, mad
+    assert abs(img[..., :3].mean() - ref[..., :3].mean()) / ref[..., :3].mean() < 0.05
+
+
+def test_wavefront_fast_matches_parity_integrator():
+    # the two engines compute the same estimator: statistically indistinguishable
+    from kajo_tpu.models.wavefront import render_image_fast
+
+    scene = parser.load(f"{REFERENCE_DATA}/test.json", 32 / 24)
+    a = np.asarray(render_image(scene, 32, 24, 16, jax.random.PRNGKey(21), passes=4))
+    b = np.asarray(render_image_fast(scene, 32, 24, 16, jax.random.PRNGKey(22), passes=4))
+    assert abs(a[..., :3].mean() - b[..., :3].mean()) / a[..., :3].mean() < 0.06
+    mad = np.abs(_tm(a) - _tm(b)).mean()
+    assert mad < 0.1, mad
