@@ -21,7 +21,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .sampling import PI, INV_PI, cosine_hemisphere, local_to_world, phong_lobe
+from .sampling import (PI, INV_PI, cosine_hemisphere, local_to_world, phong_lobe,
+                       safe_normalize, safe_pow, safe_sqrt)
 
 
 def reflect(v, n):
@@ -37,7 +38,7 @@ def refract_or_reflect(view, normal, eta_ratio):
     cos_i = jnp.sum(view * normal, axis=-1, keepdims=True)
     k = 1.0 - eta_ratio * eta_ratio * (1.0 - cos_i * cos_i)
     tir = k < 0
-    refracted = eta_ratio * view - (eta_ratio * cos_i + jnp.sqrt(jnp.maximum(k, 0.0))) * normal
+    refracted = eta_ratio * view - (eta_ratio * cos_i + safe_sqrt(k)) * normal
     return jnp.where(tir, reflect(view, normal), refracted)
 
 
@@ -70,8 +71,7 @@ def _phong_frame(view, normal):
     u = jnp.cross(z, r)
     degenerate = jnp.sum(u * u, axis=-1, keepdims=True) < 1e-12
     alt = jnp.cross(jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], r.dtype), r.shape), r)
-    u = jnp.where(degenerate, alt, u)
-    u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+    u = safe_normalize(jnp.where(degenerate, alt, u))
     v = jnp.cross(u, r)
     return r, u, v
 
@@ -86,7 +86,7 @@ def phong_sample(u1, u2, view, normal, exponent):
 def phong_eval_cos(specular, view, normal, direction, exponent):
     r = reflect(view, normal)
     cos_a = jnp.maximum(0.0, jnp.sum(r * direction, axis=-1, keepdims=True))
-    lobe = (exponent[..., None] + 1.0) / (2.0 * PI) * jnp.power(cos_a, exponent[..., None])
+    lobe = (exponent[..., None] + 1.0) / (2.0 * PI) * safe_pow(cos_a, exponent[..., None])
     cos = jnp.maximum(0.0, jnp.sum(normal * direction, axis=-1, keepdims=True))
     return specular * lobe * cos
 
@@ -94,7 +94,7 @@ def phong_eval_cos(specular, view, normal, direction, exponent):
 def phong_pdf(view, normal, direction, exponent):
     r = reflect(view, normal)
     cos_a = jnp.maximum(0.0, jnp.sum(r * direction, axis=-1))
-    return (exponent + 1.0) / (2.0 * PI) * jnp.power(cos_a, exponent)
+    return (exponent + 1.0) / (2.0 * PI) * safe_pow(cos_a, exponent)
 
 
 # --------------------------------------------------------- Ideal reflector

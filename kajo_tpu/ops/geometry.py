@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from ..scene.types import Camera, Materials, Scene
 from ..utils.math3d import unproject
+from .sampling import safe_normalize, safe_sqrt
 
 FLT_EPSILON = jnp.float32(1.1920928955078125e-07)
 INF = jnp.float32(jnp.inf)
@@ -199,7 +200,7 @@ def _intersect_spheres(prep: PreparedScene, o, d):
     b = 2.0 * jnp.sum(d_loc * o_loc, -1)
     c = jnp.sum(o_loc * o_loc, -1) - prep.sphere_radius2[None, :]
     discr = b * b - 4.0 * a * c
-    sq = jnp.sqrt(jnp.maximum(discr, 0.0))
+    sq = safe_sqrt(discr)
     q = jnp.where(b < 0, (-b - sq) * 0.5, (-b + sq) * 0.5)
     t0 = q / jnp.where(a == 0, 1.0, a)
     t1 = c / jnp.where(q == 0, 1.0, q)
@@ -224,7 +225,7 @@ def _intersect_spheres_rigid(prep: PreparedScene, o, d):
     b = 2.0 * (d_dot_o - d_dot_c)
     cq = o2 - 2.0 * o_dot_c + cc[None, :]
     discr = b * b - 4.0 * cq
-    sq = jnp.sqrt(jnp.maximum(discr, 0.0))
+    sq = safe_sqrt(discr)
     q = jnp.where(b < 0, (-b - sq) * 0.5, (-b + sq) * 0.5)
     t0 = q  # a == 1
     t1 = cq / jnp.where(q == 0, 1.0, q)
@@ -258,7 +259,7 @@ def _sphere_tangent(n):
     )
     fallback = jnp.cross(n, jnp.broadcast_to(up, n.shape))
     t = jnp.where(norm2 < 1e-12, fallback, t)
-    return t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+    return safe_normalize(t)
 
 
 def trace(prep: PreparedScene, o: jax.Array, d: jax.Array) -> SurfaceHit:
@@ -305,17 +306,13 @@ def trace(prep: PreparedScene, o: jax.Array, d: jax.Array) -> SurfaceHit:
     if num_s and prep.rigid:
         # world normal = (hit point - center) / radius, normalized like the ref
         hit_pos = o + d * jnp.where(hit, t, 0.0)[:, None]
-        n_sph = hit_pos - prep.sphere_center[sidx]
-        norm = jnp.linalg.norm(n_sph, axis=-1, keepdims=True)
-        n_sph = n_sph / jnp.where(norm == 0, 1.0, norm)
+        n_sph = safe_normalize(hit_pos - prep.sphere_center[sidx])
         t_sph = _sphere_tangent(n_sph)
     elif num_s:
         os_hit = jnp.take_along_axis(o_loc, sidx[:, None, None], axis=1)[:, 0]
         ds_hit = jnp.take_along_axis(d_loc, sidx[:, None, None], axis=1)[:, 0]
         n_loc = os_hit + ds_hit * t_loc[:, None]
-        n_sph = jnp.einsum("nij,nj->ni", prep.sphere_fwd3[sidx], n_loc)
-        norm = jnp.linalg.norm(n_sph, axis=-1, keepdims=True)
-        n_sph = n_sph / jnp.where(norm == 0, 1.0, norm)
+        n_sph = safe_normalize(jnp.einsum("nij,nj->ni", prep.sphere_fwd3[sidx], n_loc))
         t_sph = _sphere_tangent(n_sph)
     else:
         n_sph = jnp.zeros_like(o)

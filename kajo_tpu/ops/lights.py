@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .sampling import PI
+from .sampling import PI, safe_normalize, safe_sqrt
 
 
 def solid_angle(center, radius, position):
@@ -20,7 +20,7 @@ def solid_angle(center, radius, position):
     full 4π when inside. cos(asin(x)) is computed as sqrt(1-x²)."""
     dist = jnp.linalg.norm(center - position, axis=-1)
     x = jnp.clip(radius / jnp.maximum(dist, 1e-30), 0.0, 1.0)
-    omega = 2.0 * PI * (1.0 - jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x)))
+    omega = 2.0 * PI * (1.0 - safe_sqrt(1.0 - x * x))
     return jnp.where(dist < radius, 4.0 * PI, omega)
 
 
@@ -33,10 +33,9 @@ def sample(u1, u2, u3, center, radius, position):
     estimator divides by the solid-angle pdf exactly as the reference does."""
     x = radius * jnp.sqrt(u1) * jnp.cos(2.0 * PI * u2)
     y = radius * jnp.sqrt(u1) * jnp.sin(2.0 * PI * u2)
-    z = jnp.sqrt(jnp.maximum(0.0, radius * radius - x * x - y * y)) * jnp.sin(PI * (u3 - 0.5))
+    z = safe_sqrt(radius * radius - x * x - y * y) * jnp.sin(PI * (u3 - 0.5))
     offset = jnp.stack([x, y, z], axis=-1)
-    d = center + offset - position
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    d = safe_normalize(center + offset - position)
     pdf = 1.0 / solid_angle(center, radius, position)
     return d, pdf
 

@@ -20,6 +20,28 @@ PI = jnp.float32(jnp.pi)
 INV_PI = jnp.float32(1.0 / jnp.pi)
 
 
+def safe_sqrt(x):
+    """sqrt with a zero gradient at x <= 0 (double-where NaN-grad guard)."""
+    m = x > 0
+    return jnp.where(m, jnp.sqrt(jnp.where(m, x, 1.0)), 0.0)
+
+
+def safe_pow(x, n):
+    """x**n for x >= 0 with powf semantics (0**0 = 1) and NaN-free gradients
+    at x = 0 (the masked-branch 0*NaN guard)."""
+    m = x > 0
+    xs = jnp.where(m, x, 1.0)
+    return jnp.where(m, jnp.power(xs, n), jnp.where(n == 0, 1.0, 0.0))
+
+
+def safe_normalize(v, axis=-1):
+    """Normalize, returning 0 for zero vectors, with NaN-free gradients."""
+    n2 = jnp.sum(v * v, axis=axis, keepdims=True)
+    m = n2 > 0
+    return jnp.where(m, v * jax.lax.rsqrt(jnp.where(m, n2, 1.0)), 0.0)
+
+
+
 def cosine_hemisphere(u1, u2):
     """Cosine-weighted hemisphere in local (t, b, n) coords; pdf = cosθ/π.
 
@@ -34,13 +56,14 @@ def cosine_hemisphere(u1, u2):
 def phong_lobe(u1, u2, exponent):
     """Phong lobe about local +z; pdf = (n+1)/(2π) cosⁿa.
 
-    Spec: cpu/Random.cpp:90-102."""
-    cos_a = jnp.power(u1, 1.0 / (exponent + 1.0))
-    a = jnp.arccos(cos_a)
+    Spec: cpu/Random.cpp:90-102, with acos/cos cancelled out analytically:
+    sin a = sqrt(1 - cos²a) — same distribution, gradient-stable at the apex
+    (arccos' blows up at 1)."""
+    cos_a = safe_pow(u1, 1.0 / (exponent + 1.0))
     phi = 2.0 * PI * u2
-    sin_a = jnp.sin(a)
-    d = jnp.stack([sin_a * jnp.cos(phi), sin_a * jnp.sin(phi), jnp.cos(a)], axis=-1)
-    pdf = (exponent + 1.0) / (2.0 * PI) * jnp.power(jnp.cos(a), exponent)
+    sin_a = safe_sqrt(1.0 - cos_a * cos_a)
+    d = jnp.stack([sin_a * jnp.cos(phi), sin_a * jnp.sin(phi), cos_a], axis=-1)
+    pdf = (exponent + 1.0) / (2.0 * PI) * safe_pow(cos_a, exponent)
     return d, pdf
 
 
