@@ -236,6 +236,67 @@ def _intersect_spheres_rigid(prep: PreparedScene, o, d):
     return jnp.where(valid, t, INF)
 
 
+# dense [N, S] sphere sweeps above this object count would blow HBM
+# (N rays x S spheres x 4B); the chunked path scans sphere blocks with a
+# running nearest-hit instead. 100k spheres x 256k rays stays ~N*CHUNK.
+BIG_SCENE_THRESHOLD = 8192
+BIG_SCENE_CHUNK = 2048
+
+
+def _intersect_spheres_rigid_chunked(prep: PreparedScene, o, d):
+    """Running nearest-hit over sphere blocks (the big-scene path, rigid only).
+
+    Returns (t_best [N], sidx_best [N]) with sidx -1 where no sphere hit.
+    This is the object-axis analogue of ring/blocked attention: rays stay
+    resident, scene chunks stream through, each block is two [N,3]x[3,C]
+    matmuls + elementwise + a min-reduction, so peak memory is O(N*C)."""
+    n = o.shape[0]
+    s = prep.sphere_center.shape[0]
+    c = min(BIG_SCENE_CHUNK, s)
+    n_chunks = -(-s // c)
+    pad = n_chunks * c - s
+    # padding spheres can never hit: far-away center, negative radius²
+    centers = jnp.concatenate(
+        [prep.sphere_center, jnp.full((pad, 3), 1e30, jnp.float32)]
+    ).reshape(n_chunks, c, 3)
+    radius2 = jnp.concatenate(
+        [prep.sphere_radius2, jnp.full((pad,), -1.0, jnp.float32)]
+    ).reshape(n_chunks, c)
+
+    d_dot_o = jnp.sum(d * o, -1, keepdims=True)
+    o2 = jnp.sum(o * o, -1, keepdims=True)
+
+    def block(carry, inputs):
+        t_best, idx_best, base = carry
+        cen, r2 = inputs
+        d_dot_c = d @ cen.T
+        o_dot_c = o @ cen.T
+        cc = jnp.sum(cen * cen, -1) - r2
+        b = 2.0 * (d_dot_o - d_dot_c)
+        cq = o2 - 2.0 * o_dot_c + cc[None, :]
+        discr = b * b - 4.0 * cq
+        sq = safe_sqrt(discr)
+        q = jnp.where(b < 0, (-b - sq) * 0.5, (-b + sq) * 0.5)
+        t1 = cq / jnp.where(q == 0, 1.0, q)
+        lo = jnp.minimum(q, t1)
+        hi = jnp.maximum(q, t1)
+        t = jnp.where(lo < 0, hi, lo)
+        valid = (discr >= 0) & (hi >= 0) & (q != 0) & (t >= 0)
+        t = jnp.where(valid, t, INF)
+        t_min = jnp.min(t, axis=1)
+        a_min = jnp.argmin(t, axis=1).astype(jnp.int32)
+        better = t_min < t_best
+        return (
+            jnp.where(better, t_min, t_best),
+            jnp.where(better, base + a_min, idx_best),
+            base + c,
+        ), None
+
+    init = (jnp.full((n,), INF), jnp.full((n,), -1, jnp.int32), jnp.int32(0))
+    (t_best, idx_best, _), _ = jax.lax.scan(block, init, (centers, radius2))
+    return t_best, idx_best
+
+
 def _sphere_tangent(n):
     """Smallest-component permutation tangent (Raytracer.cpp:55-64).
 
@@ -279,26 +340,44 @@ def trace(prep: PreparedScene, o: jax.Array, d: jax.Array) -> SurfaceHit:
             view=d,
         )
 
-    parts_t, parts_tloc = [], []
-    if num_p:
-        tp, tp_loc = _intersect_planes(prep, o, d)
-        parts_t.append(tp)
-        parts_tloc.append(tp_loc)
-    if num_s:
-        if prep.rigid:
-            ts = _intersect_spheres_rigid(prep, o, d)
-            ts_loc = ts  # det == 1: world t equals object-space t
+    chunked = prep.rigid and num_s > BIG_SCENE_THRESHOLD
+    if chunked:
+        # big-scene path: planes dense (P is small), spheres streamed in blocks
+        t_sph, sidx_best = _intersect_spheres_rigid_chunked(prep, o, d)
+        if num_p:
+            tp, _ = _intersect_planes(prep, o, d)
+            pidx = jnp.argmin(tp, axis=1).astype(jnp.int32)
+            t_pl = jnp.take_along_axis(tp, pidx[:, None], axis=1)[:, 0]
         else:
-            ts, ts_loc, o_loc, d_loc = _intersect_spheres(prep, o, d)
-        parts_t.append(ts)
-        parts_tloc.append(ts_loc)
-    t_all = jnp.concatenate(parts_t, axis=1)
-    t_loc_all = jnp.concatenate(parts_tloc, axis=1)
+            t_pl = jnp.full_like(t_sph, INF)
+            pidx = jnp.zeros_like(sidx_best)
+        # planes scan first: a sphere needs a strictly smaller t to win
+        sphere_wins = t_sph < t_pl
+        obj = jnp.where(sphere_wins, num_p + sidx_best, pidx)
+        t = jnp.where(sphere_wins, t_sph, t_pl)
+        t_loc = t
+        hit = jnp.isfinite(t)
+    else:
+        parts_t, parts_tloc = [], []
+        if num_p:
+            tp, tp_loc = _intersect_planes(prep, o, d)
+            parts_t.append(tp)
+            parts_tloc.append(tp_loc)
+        if num_s:
+            if prep.rigid:
+                ts = _intersect_spheres_rigid(prep, o, d)
+                ts_loc = ts  # det == 1: world t equals object-space t
+            else:
+                ts, ts_loc, o_loc, d_loc = _intersect_spheres(prep, o, d)
+            parts_t.append(ts)
+            parts_tloc.append(ts_loc)
+        t_all = jnp.concatenate(parts_t, axis=1)
+        t_loc_all = jnp.concatenate(parts_tloc, axis=1)
 
-    obj = jnp.argmin(t_all, axis=1).astype(jnp.int32)
-    t = jnp.take_along_axis(t_all, obj[:, None], axis=1)[:, 0]
-    t_loc = jnp.take_along_axis(t_loc_all, obj[:, None], axis=1)[:, 0]
-    hit = jnp.isfinite(t)
+        obj = jnp.argmin(t_all, axis=1).astype(jnp.int32)
+        t = jnp.take_along_axis(t_all, obj[:, None], axis=1)[:, 0]
+        t_loc = jnp.take_along_axis(t_loc_all, obj[:, None], axis=1)[:, 0]
+        hit = jnp.isfinite(t)
 
     is_sphere = obj >= num_p
     sidx = jnp.clip(obj - num_p, 0, max(num_s - 1, 0))
