@@ -54,8 +54,20 @@ def encode_png(rgba8: np.ndarray) -> bytes:
 
 
 def save_png(path: str, radiance: np.ndarray) -> None:
-    """Tone-map linear radiance [H,W,4] and write a PNG (Main.cpp:145)."""
-    rgba8 = tonemap(radiance)
+    """Tone-map linear radiance [H,W,4] and write a PNG (Main.cpp:145).
+
+    Prefers the native C runtime (kajo_tpu.runtime) — same pixel math —
+    and falls back to the pure-Python implementation."""
+    from .. import runtime
+
+    rgba8 = runtime.tonemap(radiance)
+    if rgba8 is not None:
+        data = runtime.encode_png(rgba8)
+        if data is not None:
+            with open(path, "wb") as f:
+                f.write(data)
+            return
+    rgba8 = tonemap(radiance) if rgba8 is None else rgba8
     try:
         from PIL import Image  # optional fast path
 
