@@ -53,8 +53,8 @@ def main():
 
     import jax
 
+    from kajo_tpu.models.engine import render_pass_engine, select_engine
     from kajo_tpu.models.integrator import RenderConfig, render_pass
-    from kajo_tpu.models.wavefront import render_pass_fast
     from kajo_tpu.scene import parser
 
     scene = parser.load(SCENE, W / H)
@@ -64,13 +64,14 @@ def main():
     eff = grid * grid
     samples_per_pass = W * H * eff
 
-    # warmup/compile (regenerating wavefront engine)
-    render_pass_fast(scene, key, W, H, SPP, config).block_until_ready()
+    engine = select_engine(scene)
+    # warmup/compile
+    render_pass_engine(engine, scene, key, W, H, SPP, config).block_until_ready()
 
-    n_timed = 3
+    n_timed = 20 if engine == "mega" else 3
     t0 = time.time()
     for i in range(n_timed):
-        img = render_pass_fast(scene, jax.random.fold_in(key, i + 1), W, H, SPP, config)
+        img = render_pass_engine(engine, scene, jax.random.fold_in(key, i + 1), W, H, SPP, config)
     img.block_until_ready()
     dt = time.time() - t0
     samples_per_s = n_timed * samples_per_pass / dt
@@ -97,6 +98,7 @@ def main():
         "baseline_cpp_samples_per_s": round(baseline),
         "baseline_live": live,
         "grad_samples_per_s": round(grad_samples_per_s),
+        "engine": engine,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

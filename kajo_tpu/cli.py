@@ -51,9 +51,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default=None, help="force a jax platform (e.g. cpu)")
     p.add_argument(
         "--engine",
-        default="fast",
-        choices=["fast", "parity"],
-        help="fast = regenerating wavefront (default); parity = fixed-shape scan "
+        default="auto",
+        choices=["auto", "mega", "fast", "parity"],
+        help="auto = fastest supported (default); mega = fused Pallas megakernel; "
+        "fast = regenerating wavefront; parity = fixed-shape scan "
         "(differentiable, bit-spec of the estimator)",
     )
     return p
@@ -68,8 +69,8 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
     import jax
 
-    from .models.integrator import RenderConfig, render_pass
-    from .models.wavefront import render_pass_fast
+    from .models.engine import render_pass_engine, select_engine
+    from .models.integrator import RenderConfig
     from .scene import parser
     from .scene.testscene import build_test_scene
     from .utils.format import format_si
@@ -103,15 +104,16 @@ def main(argv=None) -> int:
         except FileNotFoundError:
             pass
 
+    engine = select_engine(scene, args.engine)
+    print(f"engine: {engine}", file=sys.stderr)
     n_passes = args.passes if args.passes > 0 else 1 << 30
     t0 = time.time()
     samples_done = 0
     done = start_pass
     try:
         for p in range(start_pass, start_pass + n_passes):
-            render = render_pass_fast if args.engine == "fast" else render_pass
-            pass_img = render(
-                scene, jax.random.fold_in(key, p), args.width, args.height, args.spp, config
+            pass_img = render_pass_engine(
+                engine, scene, jax.random.fold_in(key, p), args.width, args.height, args.spp, config
             )
             total += np.asarray(pass_img)
             done = p + 1

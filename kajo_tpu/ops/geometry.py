@@ -35,6 +35,13 @@ from ..utils.math3d import unproject
 from .sampling import safe_normalize, safe_sqrt
 
 FLT_EPSILON = jnp.float32(1.1920928955078125e-07)
+# All geometry matmuls must run at full f32: the TPU's default bf16-pass
+# matmul precision visibly shifts ray-object intersections.
+HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=HI)
 INF = jnp.float32(jnp.inf)
 
 
@@ -115,7 +122,9 @@ def camera_basis(camera: Camera) -> CameraBasis:
     p1 = unproject(jnp.array([0.0, 0.0, 0.0]), view, proj, xp=jnp)
     p2 = unproject(jnp.array([1.0, 0.0, 0.0]), view, proj, xp=jnp)
     p3 = unproject(jnp.array([0.0, 1.0, 0.0]), view, proj, xp=jnp)
-    origin = (jnp.linalg.inv(view) @ jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32))[:3]
+    origin = jnp.matmul(
+        jnp.linalg.inv(view), jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32), precision=HI
+    )[:3]
     return CameraBasis(origin=origin, p1=p1, du=p2 - p1, dv=p3 - p1)
 
 
@@ -182,8 +191,8 @@ def prepare_scene(scene: Scene) -> PreparedScene:
 def _intersect_planes(prep: PreparedScene, o, d):
     """Plane hits (Raytracer.cpp:74-98). Returns (t_world [N,P], valid [N,P])."""
     n, c = prep.plane_nrow[:, :3], prep.plane_nrow[:, 3]
-    denom = d @ n.T                     # [N, P] object-space d.y
-    onum = o @ n.T + c[None, :]         # [N, P] object-space o.y
+    denom = _mm(d, n.T)                 # [N, P] object-space d.y
+    onum = _mm(o, n.T) + c[None, :]     # [N, P] object-space o.y
     t_loc = -onum / jnp.where(denom == 0, 1.0, denom)
     t = t_loc * prep.plane_det[None, :]
     valid = (jnp.abs(denom) >= FLT_EPSILON) & (t_loc >= 0) & (t >= 0)
@@ -194,8 +203,8 @@ def _intersect_spheres(prep: PreparedScene, o, d):
     """Sphere hits via the stable quadratic (Raytracer.cpp:21-51).
 
     Returns (t_world [N,S], t_loc [N,S], o_loc [N,S,3], d_loc [N,S,3])."""
-    o_loc = jnp.einsum("sij,nj->nsi", prep.sphere_inv3, o) + prep.sphere_invt[None, :, :]
-    d_loc = jnp.einsum("sij,nj->nsi", prep.sphere_inv3, d)
+    o_loc = jnp.einsum("sij,nj->nsi", prep.sphere_inv3, o, precision=HI) + prep.sphere_invt[None, :, :]
+    d_loc = jnp.einsum("sij,nj->nsi", prep.sphere_inv3, d, precision=HI)
     a = jnp.sum(d_loc * d_loc, -1)
     b = 2.0 * jnp.sum(d_loc * o_loc, -1)
     c = jnp.sum(o_loc * o_loc, -1) - prep.sphere_radius2[None, :]
@@ -217,8 +226,8 @@ def _intersect_spheres_rigid(prep: PreparedScene, o, d):
     |d| = 1. The ray-dependent work is two [N,3]x[3,S] matmuls (MXU); results
     match the object-space path exactly (isometry + det 1). Returns t [N,S]."""
     c = prep.sphere_center  # [S, 3]
-    d_dot_c = d @ c.T  # [N, S]
-    o_dot_c = o @ c.T  # [N, S]
+    d_dot_c = _mm(d, c.T)  # [N, S]
+    o_dot_c = _mm(o, c.T)  # [N, S]
     d_dot_o = jnp.sum(d * o, -1, keepdims=True)  # [N, 1]
     o2 = jnp.sum(o * o, -1, keepdims=True)  # [N, 1]
     cc = jnp.sum(c * c, -1) - prep.sphere_radius2  # [S]
@@ -269,8 +278,8 @@ def _intersect_spheres_rigid_chunked(prep: PreparedScene, o, d):
     def block(carry, inputs):
         t_best, idx_best, base = carry
         cen, r2 = inputs
-        d_dot_c = d @ cen.T
-        o_dot_c = o @ cen.T
+        d_dot_c = _mm(d, cen.T)
+        o_dot_c = _mm(o, cen.T)
         cc = jnp.sum(cen * cen, -1) - r2
         b = 2.0 * (d_dot_o - d_dot_c)
         cq = o2 - 2.0 * o_dot_c + cc[None, :]
@@ -391,7 +400,7 @@ def trace(prep: PreparedScene, o: jax.Array, d: jax.Array) -> SurfaceHit:
         os_hit = jnp.take_along_axis(o_loc, sidx[:, None, None], axis=1)[:, 0]
         ds_hit = jnp.take_along_axis(d_loc, sidx[:, None, None], axis=1)[:, 0]
         n_loc = os_hit + ds_hit * t_loc[:, None]
-        n_sph = safe_normalize(jnp.einsum("nij,nj->ni", prep.sphere_fwd3[sidx], n_loc))
+        n_sph = safe_normalize(jnp.einsum("nij,nj->ni", prep.sphere_fwd3[sidx], n_loc, precision=HI))
         t_sph = _sphere_tangent(n_sph)
     else:
         n_sph = jnp.zeros_like(o)

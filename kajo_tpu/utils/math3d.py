@@ -129,6 +129,16 @@ def unproject(win, view: Array, proj: Array, xp=np) -> Array:
     win = xp.asarray(win, dtype=xp.float32)
     ndc = win * 2.0 - 1.0
     v = xp.concatenate([ndc, xp.asarray([1.0], dtype=xp.float32)])
-    inv = xp.linalg.inv((proj @ view).astype(xp.float32))
-    out = inv @ v
+    if xp is np:
+        inv = np.linalg.inv((proj @ view).astype(np.float32))
+        out = inv @ v
+    else:
+        # TPU default matmul precision is bf16-pass based; camera rays need
+        # full f32 (a 1e-4 basis error visibly shifts the image)
+        import jax
+
+        hi = jax.lax.Precision.HIGHEST
+        pv = jax.numpy.matmul(proj, view, precision=hi).astype(xp.float32)
+        inv = xp.linalg.inv(pv)
+        out = jax.numpy.matmul(inv, v, precision=hi)
     return (out[:3] / out[3]).astype(xp.float32)
