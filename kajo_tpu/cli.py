@@ -112,17 +112,21 @@ def main(argv=None) -> int:
     done = start_pass
     try:
         for p in range(start_pass, start_pass + n_passes):
+            t_pass = time.time()
             pass_img = render_pass_engine(
                 engine, scene, jax.random.fold_in(key, p), args.width, args.height, args.spp, config
             )
             total += np.asarray(pass_img)
             done = p + 1
-            samples_done += args.width * args.height * eff_spp
-            elapsed = time.time() - t0
-            rate = samples_done / max(elapsed, 1e-9)
+            pass_samples = args.width * args.height * eff_spp
+            samples_done += pass_samples
+            now = time.time()
+            elapsed = now - t0
+            rate = pass_samples / max(now - t_pass, 1e-9)
             print(
                 f"pass {done}: {args.width}x{args.height}, {elapsed:.1f}s, "
-                f"{done * eff_spp} samples/pixel, {format_si(rate)} samples/s",
+                f"{done * eff_spp} samples/pixel, {format_si(rate)} samples/s"
+                + (" (incl. compile)" if p == start_pass else ""),
                 file=sys.stderr,
             )
             if args.save_every and done % args.save_every == 0:
