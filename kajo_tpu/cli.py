@@ -49,6 +49,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None, help="progressive-state checkpoint file (.npz)")
     p.add_argument("--resume", action="store_true", help="resume from --checkpoint if present")
     p.add_argument("--platform", default=None, help="force a jax platform (e.g. cpu)")
+    p.add_argument("--preview", action="store_true", help="live ANSI preview in the terminal")
+    p.add_argument("--profile", default=None, metavar="DIR", help="capture a jax profiler trace to DIR")
     p.add_argument(
         "--engine",
         default="auto",
@@ -106,6 +108,8 @@ def main(argv=None) -> int:
 
     engine = select_engine(scene, args.engine)
     print(f"engine: {engine}", file=sys.stderr)
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     n_passes = args.passes if args.passes > 0 else 1 << 30
     t0 = time.time()
     samples_done = 0
@@ -129,6 +133,14 @@ def main(argv=None) -> int:
                 + (" (incl. compile)" if p == start_pass else ""),
                 file=sys.stderr,
             )
+            if args.preview:
+                from .utils.preview import show
+
+                show(
+                    total / done,
+                    f"pass {done}  {args.width}x{args.height}  {elapsed:.1f}s  "
+                    f"{done * eff_spp} spp  {format_si(rate)} samples/s",
+                )
             if args.save_every and done % args.save_every == 0:
                 save_png(args.out, total / done)
             if args.checkpoint:
@@ -136,6 +148,9 @@ def main(argv=None) -> int:
     except KeyboardInterrupt:
         print("interrupted, saving", file=sys.stderr)
 
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"profile trace in {args.profile}", file=sys.stderr)
     if done > 0:
         save_png(args.out, total / done)
         print(f"saved {args.out}", file=sys.stderr)

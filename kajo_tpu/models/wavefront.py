@@ -143,6 +143,7 @@ def render_lanes(
         pend_delta=jnp.zeros((n,), bool),
         prev_obj=jnp.full((n,), -1, jnp.int32),
         prev_pos=jnp.zeros((n, 3), jnp.float32),
+        iters=jnp.zeros((), jnp.int32),
     )
 
     ncalls = -(-(5 + 3 * num_lights) // 4)  # uniform4 calls per vertex
@@ -278,10 +279,11 @@ def render_lanes(
             pend_delta=m_mirror & ~path_end,
             prev_obj=jnp.where(scatter & ~path_end, hit.obj, -1),
             prev_pos=jnp.where((scatter & ~path_end)[:, None], hit.position, 0.0),
+            iters=state["iters"] + 1,
         )
 
     state = jax.lax.while_loop(cond, body, state)
-    return state["radiance"]
+    return state["radiance"], state["iters"]
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
@@ -302,9 +304,38 @@ def render_pass_fast(
     n = width * height
     lane = jnp.arange(n, dtype=jnp.uint32)
     seed = seed_from_key(key)
-    rgb = render_lanes(prep, lane, seed, width, height, eff, grid, config) / divisor
+    rgb, _ = render_lanes(prep, lane, seed, width, height, eff, grid, config)
+    rgb = rgb / divisor
     img = jnp.concatenate([rgb, jnp.ones((n, 1), jnp.float32)], axis=1)
     return img.reshape(height, width, 4)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
+def render_pass_fast_stats(
+    scene: Scene,
+    key: jax.Array,
+    width: int,
+    height: int,
+    spp: int,
+    config: RenderConfig = RenderConfig(),
+):
+    """render_pass_fast + (iterations, rays_traced) observability counters.
+
+    rays = iterations * lanes * (1 + num_lights): each live wavefront
+    iteration does one continuation/camera trace plus one NEE shadow trace
+    per light (the reference preview reported samples/s only)."""
+    prep = prepare_scene(scene)
+    grid = max(int(spp**0.5), 1)
+    eff = grid * grid
+    divisor = float(spp if config.kajo_spp_quirk else eff)
+    n = width * height
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    seed = seed_from_key(key)
+    rgb, iters = render_lanes(prep, lane, seed, width, height, eff, grid, config)
+    rgb = rgb / divisor
+    img = jnp.concatenate([rgb, jnp.ones((n, 1), jnp.float32)], axis=1)
+    rays = iters.astype(jnp.int64) * n * (1 + prep.light_obj.shape[0])
+    return img.reshape(height, width, 4), iters, rays
 
 
 def render_image_fast(

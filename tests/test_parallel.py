@@ -1,0 +1,51 @@
+"""Sharded rendering over the virtual 8-device mesh."""
+
+import jax
+import numpy as np
+
+from kajo_tpu.models.integrator import RenderConfig, render_pass
+from kajo_tpu.parallel.render import make_mesh, render_pass_sharded
+from kajo_tpu.scene.testscene import build_test_scene
+
+CFG = RenderConfig(max_depth=2)
+
+
+def test_sharded_matches_unsharded():
+    scene = build_test_scene(1.0)
+    key = jax.random.PRNGKey(4)
+    mesh = make_mesh()
+    a = np.asarray(render_pass_sharded(scene, key, 24, 24, 4, CFG, mesh))
+    b = np.asarray(render_pass(scene, key, 24, 24, 4, CFG))
+    # same estimator, same strata; RNG stream differs only via lane padding
+    assert np.isfinite(a).all()
+    assert abs(a[..., :3].mean() - b[..., :3].mean()) / b[..., :3].mean() < 0.15
+
+
+def test_sharded_uses_all_devices():
+    scene = build_test_scene(1.0)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    img = render_pass_sharded(scene, jax.random.PRNGKey(0), 16, 16, 4, CFG, mesh)
+    img.block_until_ready()
+    assert img.shape == (16, 16, 4)
+
+
+def test_gradient_through_sharded_render():
+    import jax.numpy as jnp
+
+    scene = build_test_scene(1.0)
+    scene = jax.tree.map(jnp.asarray, scene)
+    mesh = make_mesh()
+
+    def loss(s):
+        img = render_pass_sharded(s, jax.random.PRNGKey(1), 16, 16, 4, CFG, mesh)
+        return jnp.mean(img[..., :3])
+
+    g = jax.grad(lambda d: loss(
+        __import__("dataclasses").replace(
+            scene,
+            materials=__import__("dataclasses").replace(scene.materials, diffuse=d),
+        )
+    ))(scene.materials.diffuse)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
