@@ -76,11 +76,14 @@ def main():
     dt = time.time() - t0
     samples_per_s = n_timed * samples_per_pass / dt
 
-    # fwd+bwd: gradient of mean radiance w.r.t. scene (config-4 rate)
+    # fwd+bwd: gradient of mean radiance w.r.t. scene (config-4 rate),
+    # via the differentiable budget wavefront
     import jax.numpy as jnp
 
+    from kajo_tpu.models.wavefront import render_pass_budget
+
     def loss(scene_):
-        im = render_pass(scene_, key, W // 2, H // 2, 4, config)
+        im = render_pass_budget(scene_, key, W // 2, H // 2, 4, config)
         return jnp.mean(im[..., :3])
 
     gf = jax.jit(jax.grad(loss))

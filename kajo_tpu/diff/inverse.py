@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.integrator import RenderConfig
+from ..models.wavefront import render_pass_budget
 from ..parallel.render import render_pass_sharded
 from ..scene.types import Scene
 
@@ -68,10 +69,28 @@ def render_loss(
     config: RenderConfig = RenderConfig(),
     mesh=None,
 ):
-    """L2 loss between a fresh stochastic render and the target [H, W, 4]."""
-    img = render_pass_sharded(apply_params(scene, params), key, width, height, spp, config, mesh)
-    diff = img[..., :3] - target[..., :3]
-    return jnp.mean(diff * diff)
+    """Unbiased L2 loss between the stochastic render and the target.
+
+    Plain MSE of a noisy render against the target contains a θ-dependent
+    *variance* term — E[(X(θ)-T)²] = (E[X]-T)² + Var[X(θ)] — which pulls the
+    optimum toward low-variance (typically darker) parameters. We use the
+    two-sample cross-estimator E[(X₁-T)(X₂-T)] with independent keys, whose
+    expectation is exactly (E[X]-T)²: variance-blind, unbiased gradients.
+
+    Unsharded runs use the differentiable regenerating wavefront (budget
+    engine, ~3x the fixed-depth scan's gradient throughput); under a mesh
+    the sharded parity path is used."""
+    updated = apply_params(scene, params)
+    k1, k2 = jax.random.split(key)
+    if mesh is None:
+        img1 = render_pass_budget(updated, k1, width, height, spp, config)
+        img2 = render_pass_budget(updated, k2, width, height, spp, config)
+    else:
+        img1 = render_pass_sharded(updated, k1, width, height, spp, config, mesh)
+        img2 = render_pass_sharded(updated, k2, width, height, spp, config, mesh)
+    d1 = img1[..., :3] - target[..., :3]
+    d2 = img2[..., :3] - target[..., :3]
+    return jnp.mean(d1 * d2)
 
 
 @dataclasses.dataclass
@@ -88,9 +107,15 @@ class InverseRenderer:
     mesh: Any = None
     param_spec: tuple = DEFAULT_PARAM_SPEC
 
+    decay_steps: int = 0  # >0: cosine-decay the lr to 10% over this many steps
+
     def __post_init__(self):
         self.params = extract_params(self.scene, self.param_spec)
-        self.opt = optax.adam(self.learning_rate)
+        if self.decay_steps:
+            schedule = optax.cosine_decay_schedule(self.learning_rate, self.decay_steps, 0.1)
+            self.opt = optax.adam(schedule)
+        else:
+            self.opt = optax.adam(self.learning_rate)
         self.opt_state = self.opt.init(self.params)
 
         cfg, mesh = self.config, self.mesh

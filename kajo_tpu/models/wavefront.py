@@ -20,8 +20,10 @@ throughput:
     RGB only;
   * rigid scenes use the MXU ray-sphere path automatically (ops/geometry.py).
 
-`lax.while_loop` has no reverse-mode derivative: this module is the forward/
-rendering path; gradients use the fixed-shape scan in models/integrator.py.
+`lax.while_loop` has no reverse-mode derivative, so two drivers share the
+same loop body: `render_lanes` (while_loop, exact sample counts, fastest
+forward) and `render_lanes_budget` (fixed-length remat'd scan, differentiable,
+discards in-flight samples at the horizon — the fast gradient path).
 """
 
 from __future__ import annotations
@@ -101,7 +103,7 @@ def _light_pdf_for_hit3(prep, hit_obj, prev_obj, prev_pos):
     return jnp.sum(jnp.where(is_light & not_self, pdf, 0.0), axis=1)
 
 
-def render_lanes(
+def _make_loop(
     prep: PreparedScene,
     lane: jax.Array,
     seed: jax.Array,
@@ -110,9 +112,12 @@ def render_lanes(
     eff_spp: int,
     grid: int,
     config: RenderConfig,
-) -> jax.Array:
-    """Run ``eff_spp`` full paths per lane with regeneration; returns the
-    per-lane radiance sum [N, 3] (divide by spp outside)."""
+):
+    """Build (init_state, cond, body) for the regenerating wavefront.
+
+    Radiance is split into ``radiance`` (completed samples only — folded in
+    at path end) and ``r_cur`` (the in-flight sample), so a truncated run
+    can discard partial samples and stay unbiased per completed sample."""
     n = lane.shape[0]
     num_lights = prep.light_obj.shape[0]
     eps = jnp.float32(config.surface_epsilon)
@@ -143,6 +148,7 @@ def render_lanes(
         pend_delta=jnp.zeros((n,), bool),
         prev_obj=jnp.full((n,), -1, jnp.int32),
         prev_pos=jnp.zeros((n, 3), jnp.float32),
+        r_cur=jnp.zeros((n, 3), jnp.float32),
         iters=jnp.zeros((), jnp.int32),
     )
 
@@ -165,7 +171,7 @@ def render_lanes(
         hit = trace(prep, state["o"], state["d"])
         was_hit = hit.obj >= 0
         t = state["throughput"]
-        r = state["radiance"]
+        r = state["r_cur"]
 
         # deferred MIS weight from previous vertex
         pdf_l_vis = _light_pdf_for_hit3(prep, hit.obj, state["prev_obj"], state["prev_pos"])
@@ -269,7 +275,8 @@ def render_lanes(
             o=new_o,
             d=new_dir,
             throughput=jnp.where(path_end[:, None], 1.0, t),
-            radiance=r,
+            radiance=state["radiance"] + jnp.where(path_end[:, None], r, 0.0),
+            r_cur=jnp.where(path_end[:, None], 0.0, r),
             emit=jnp.where(
                 path_end, True, jnp.where(scatter, jnp.full_like(path_end, emit_after_scatter), state["emit"])
             ),
@@ -282,8 +289,28 @@ def render_lanes(
             iters=state["iters"] + 1,
         )
 
+    return state, cond, body
+
+
+def render_lanes(prep, lane, seed, width, height, eff_spp, grid, config):
+    """Exact engine: loop until every lane finishes all its samples."""
+    state, cond, body = _make_loop(prep, lane, seed, width, height, eff_spp, grid, config)
     state = jax.lax.while_loop(cond, body, state)
     return state["radiance"], state["iters"]
+
+
+def render_lanes_budget(prep, lane, seed, width, height, eff_spp, grid, config, n_iters):
+    """Differentiable engine: the same regenerating body under a fixed-length
+    remat'd scan. Runs ``n_iters`` wavefront iterations; samples still in
+    flight at the end are *discarded* (their partial radiance never reaches
+    ``radiance``), so the per-completed-sample estimator stays unbiased —
+    per-lane sample counts become slightly variable instead (ratio estimator
+    across lanes, standard progressive-rendering semantics). Returns
+    (radiance_sum [N,3], completed_samples [N])."""
+    state, _, body = _make_loop(prep, lane, seed, width, height, eff_spp, grid, config)
+    body_scan = jax.checkpoint(lambda c, _: (body(c), None), prevent_cse=False)
+    state, _ = jax.lax.scan(body_scan, state, None, length=n_iters)
+    return state["radiance"], jnp.minimum(state["sample"], eff_spp)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
@@ -351,3 +378,35 @@ def render_image_fast(
     for p in range(passes):
         total = total + render_pass_fast(scene, jax.random.fold_in(key, p), width, height, spp, config)
     return total / passes
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "config", "iters_per_sample"))
+def render_pass_budget(
+    scene: Scene,
+    key: jax.Array,
+    width: int,
+    height: int,
+    spp: int,
+    config: RenderConfig = RenderConfig(),
+    iters_per_sample: int = 4,
+) -> jax.Array:
+    """Differentiable regenerating-wavefront pass -> [H, W, 4].
+
+    ``iters_per_sample * eff_spp`` wavefront iterations; with Russian-roulette
+    path lengths ~2-3 this completes >99% of samples while doing ~2-3x less
+    work than the fixed-depth parity scan. Per-pixel normalization uses the
+    actual completed-sample count."""
+    prep = prepare_scene(scene)
+    grid = max(int(spp**0.5), 1)
+    eff = grid * grid
+    quirk = float(spp if config.kajo_spp_quirk else eff) / eff  # kajo 25/32 bias
+    n = width * height
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    seed = seed_from_key(key)
+    rgb, completed = render_lanes_budget(
+        prep, lane, seed, width, height, eff, grid, config, iters_per_sample * eff
+    )
+    denom = jnp.maximum(completed, 1).astype(jnp.float32) * quirk
+    rgb = rgb / denom[:, None]
+    img = jnp.concatenate([rgb, jnp.ones((n, 1), jnp.float32)], axis=1)
+    return img.reshape(height, width, 4)

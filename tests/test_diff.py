@@ -129,13 +129,14 @@ def test_inverse_rendering_recovers_albedo():
         ),
     )
     inv = InverseRenderer(
-        wrong, target, 24, 24, spp=4, config=CFG, learning_rate=8e-2, param_spec=("diffuse",)
+        wrong, target, 24, 24, spp=4, config=CFG, learning_rate=1e-1,
+        param_spec=("diffuse",), decay_steps=250,
     )
-    losses = inv.run(200, jax.random.PRNGKey(7))
-    # the stochastic loss has an MC-noise floor, so gate on parameter recovery
-    assert losses[-1] < losses[0], (losses[0], losses[-1])
+    losses = inv.run(250, jax.random.PRNGKey(7))
+    # cross-estimator loss is variance-blind: recovery is tight
     recovered = np.asarray(inv.params["diffuse"])[0, :3]
-    np.testing.assert_allclose(recovered, [0.7, 0.4, 0.2], atol=0.1)
+    np.testing.assert_allclose(recovered, [0.7, 0.4, 0.2], atol=0.06)
+    assert abs(losses[-1]) < abs(losses[0])
 
 
 def test_inverse_rendering_recovers_position():
@@ -148,10 +149,9 @@ def test_inverse_rendering_recovers_position():
         scene, sphere_transform=scene.sphere_transform.at[0, 0, 3].add(0.3)
     )
     inv = InverseRenderer(
-        wrong, target, 24, 24, spp=4, config=CFG, learning_rate=2e-2,
-        param_spec=("sphere_transform",),
+        wrong, target, 24, 24, spp=4, config=CFG, learning_rate=3e-2,
+        param_spec=("sphere_transform",), decay_steps=150,
     )
-    losses = inv.run(80, jax.random.PRNGKey(9))
+    inv.run(150, jax.random.PRNGKey(9))
     offset = float(np.asarray(inv.params["sphere_transform"])[0, 0, 3])
-    assert abs(offset) < 0.12, offset  # started at 0.3, true value 0.0
-    assert losses[-1] < losses[0]
+    assert abs(offset) < 0.1, offset  # started at 0.3, true value 0.0
