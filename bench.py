@@ -27,6 +27,19 @@ W, H, SPP = 512, 384, 16
 FALLBACK_BASELINE_SAMPLES_PER_S = 11.2e6
 
 
+
+def _enable_compile_cache():
+    """Persistent compile cache: re-runs skip the (remote) TPU compile."""
+    import os
+
+    import jax
+
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/kajo_jax_cache")
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def measure_reference():
     driver = os.path.join(REPO, "tools", "ref_driver")
     if not os.path.exists(driver):
@@ -52,6 +65,8 @@ def main():
     baseline, live = measure_reference()
 
     import jax
+
+    _enable_compile_cache()
 
     from kajo_tpu.models.engine import render_pass_engine, select_engine
     from kajo_tpu.models.integrator import RenderConfig, render_pass

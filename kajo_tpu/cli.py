@@ -71,6 +71,13 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
     import jax
 
+    import os as _os
+
+    _cache = _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/kajo_jax_cache")
+    _os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from .models.engine import render_pass_engine, select_engine
     from .models.integrator import RenderConfig
     from .scene import parser
