@@ -1,0 +1,74 @@
+"""CLI end-to-end: render, save, checkpoint/resume, engine selection."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, timeout=300):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    return subprocess.run(
+        [sys.executable, "-m", "kajo_tpu.cli", "--platform", "cpu", *args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=REPO,
+        env=env,
+    )
+
+
+def test_render_and_save(tmp_path):
+    out = tmp_path / "out.png"
+    r = run_cli(["-w", "32", "-h", "24", "--spp", "4", "--passes", "2", "-o", str(out),
+                 "/root/reference/data/spheres.json"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists()
+    from kajo_tpu.utils.image import load_png
+
+    img = load_png(str(out))
+    assert img.shape == (24, 32, 4)
+    assert img[..., :3].mean() > 5  # not black
+    assert "samples/s" in r.stderr
+
+
+def test_builtin_test_scene(tmp_path):
+    out = tmp_path / "t.png"
+    r = run_cli(["-w", "16", "-h", "12", "--spp", "4", "--passes", "1", "-o", str(out)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists()
+
+
+def test_checkpoint_resume(tmp_path):
+    out = tmp_path / "c.png"
+    ck = tmp_path / "state.npz"
+    r1 = run_cli(["-w", "16", "-h", "12", "--spp", "4", "--passes", "2",
+                  "-o", str(out), "--checkpoint", str(ck),
+                  "/root/reference/data/spheres.json"])
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert ck.exists()
+    data = np.load(ck)
+    assert int(data["passes"]) == 2
+    r2 = run_cli(["-w", "16", "-h", "12", "--spp", "4", "--passes", "1",
+                  "-o", str(out), "--checkpoint", str(ck), "--resume",
+                  "/root/reference/data/spheres.json"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed" in r2.stderr
+    assert int(np.load(ck)["passes"]) == 3
+
+
+def test_bad_scene_path_fails():
+    r = run_cli(["/nonexistent/scene.json", "--passes", "1"])
+    assert r.returncode != 0
+
+
+def test_help_lists_reference_flags():
+    r = run_cli(["--help"])
+    assert r.returncode == 0
+    for flag in ("-w", "-h", "-r", "--spp", "--engine", "--full-mis"):
+        assert flag in r.stdout
