@@ -261,7 +261,9 @@ def _intersect_spheres_rigid_chunked(prep: PreparedScene, o, d):
     matmuls + elementwise + a min-reduction, so peak memory is O(N*C)."""
     n = o.shape[0]
     s = prep.sphere_center.shape[0]
-    c = min(BIG_SCENE_CHUNK, s)
+    # bound live [N, C] intermediates: ~6 of them per block must fit HBM
+    # comfortably (a 2048 chunk at 100k rays faulted the device)
+    c = min(BIG_SCENE_CHUNK, s, max(256, (1 << 25) // max(n, 1)))
     n_chunks = -(-s // c)
     pad = n_chunks * c - s
     # padding spheres can never hit: far-away center, negative radius²
