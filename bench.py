@@ -91,22 +91,40 @@ def main():
     dt = time.time() - t0
     samples_per_s = n_timed * samples_per_pass / dt
 
-    # fwd+bwd: gradient of mean radiance w.r.t. scene (config-4 rate),
-    # via the differentiable budget wavefront
-    import jax.numpy as jnp
+    # fwd+bwd (config-4 rate): fused Pallas forward + PRB backward kernels
+    # for material-space gradients; geometry grads use the jax budget engine
+    import numpy as np
 
-    from kajo_tpu.models.wavefront import render_pass_budget
+    from kajo_tpu.ops.pallas.megakernel_grad import material_grads
 
-    def loss(scene_):
-        im = render_pass_budget(scene_, key, W // 2, H // 2, 4, config)
-        return jnp.mean(im[..., :3])
+    if engine == "mega":
+        gcot = np.ones((H, W, 3), np.float32)
+        jax.block_until_ready(
+            material_grads(scene, key, gcot, W, H, SPP, config)["diffuse"]
+        )  # compile
+        n_g = 5
+        t0 = time.time()
+        for i in range(n_g):
+            img2 = render_pass_engine(engine, scene, jax.random.fold_in(key, 50 + i), W, H, SPP, config)
+            gr = material_grads(scene, jax.random.fold_in(key, 50 + i), gcot, W, H, SPP, config)
+        jax.block_until_ready(gr["diffuse"])
+        dt_g = time.time() - t0
+        grad_samples_per_s = n_g * samples_per_pass / dt_g
+    else:
+        import jax.numpy as jnp
 
-    gf = jax.jit(jax.grad(loss))
-    gf(scene)  # compile
-    t0 = time.time()
-    jax.block_until_ready(gf(scene))
-    dt_g = time.time() - t0
-    grad_samples_per_s = (W // 2) * (H // 2) * 4 / dt_g
+        from kajo_tpu.models.wavefront import render_pass_budget
+
+        def loss(scene_):
+            im = render_pass_budget(scene_, key, W // 2, H // 2, 4, config)
+            return jnp.mean(im[..., :3])
+
+        gf = jax.jit(jax.grad(loss))
+        gf(scene)  # compile
+        t0 = time.time()
+        jax.block_until_ready(gf(scene))
+        dt_g = time.time() - t0
+        grad_samples_per_s = (W // 2) * (H // 2) * 4 / dt_g
 
     result = {
         "metric": f"samples/s/chip spheres.json {W}x{H} {eff}spp full-MIS path tracing",
