@@ -212,22 +212,19 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
                 pdf = pdf + jnp.where(ok, 1.0 / solid_angle(dist, r[3]), 0.0)
             return pdf
 
-        # Mosaic has no scatter-add; accumulate (row, col) -> scalar sums in a
-        # python dict during the unrolled loops, then materialize ONE dense
-        # [K+1, 16] increment per body via one-hot basis constants (FMAs on a
-        # tiny tile).
-        _b_rows = jax.lax.broadcasted_iota(jnp.int32, (Krows, 16), 0)
-        _b_cols = jax.lax.broadcasted_iota(jnp.int32, (Krows, 16), 1)
-
-        def _basis(k, c):
-            # one-hot built in-kernel (Pallas forbids captured array constants)
-            return ((_b_rows == k) & (_b_cols == c)).astype(jnp.float32)
+        # Mosaic has no scatter-add. Gradients accumulate into carried
+        # per-(row, col) [TILE_ROWS, 128] *planes* — only vector FMAs per
+        # iteration; each plane is reduced to its table scalar once, after
+        # the loop. Plane keys: (k, c) for object rows 0..K-1 and cols 0..8
+        # (diffuse3, specular3, emission3) plus (K, 0..2) for the background.
+        PLANE_KEYS = [(k, c) for k in range(K) for c in range(9)] + [(K, c) for c in range(3)]
+        PK_INDEX = {kc: i for i, kc in enumerate(PLANE_KEYS)}
 
         def scatter_mask(acc, mask, row_k, cols3, vals3):
-            """acc[(row_k, c)] += Σ_lanes(mask * v) (static row)."""
+            """acc plane (row_k, c) += where(mask, v) (static row)."""
             for c, v in zip(cols3, vals3):
-                val = jnp.sum(jnp.where(mask, v, 0.0))
-                acc[(row_k, c)] = acc.get((row_k, c), 0.0) + val
+                i = PK_INDEX[(row_k, c)]
+                acc[i] = acc[i] + jnp.where(mask, v, 0.0)
             return acc
 
         def scatter_obj(acc, mask, obj, cols3, vals3):
@@ -235,14 +232,9 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
             for k in range(K):
                 mk = mask & (obj == k)
                 for c, v in zip(cols3, vals3):
-                    val = jnp.sum(jnp.where(mk, v, 0.0))
-                    acc[(k, c)] = acc.get((k, c), 0.0) + val
+                    i = PK_INDEX[(k, c)]
+                    acc[i] = acc[i] + jnp.where(mk, v, 0.0)
             return acc
-
-        def flush_acc(gtab, acc):
-            for (k, c), v in acc.items():
-                gtab = gtab + v * _basis(k, c)
-            return gtab
 
         def init_state():
             sample = jnp.where(in_image, 0, eff)
@@ -264,7 +256,7 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
                 one, one, one,                   # pend_mat (color in deferred F)
                 zi - 1,                          # pend_mobj
                 zi - 1,                          # pend_mtab (0=diffuse,1=specular,-1 none)
-                jnp.zeros((Krows, 16), jnp.float32),  # grad table
+                tuple(zf for _ in PLANE_KEYS),   # gradient accumulation planes
             )
 
         def cond(st):
@@ -274,7 +266,8 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
             (sample, phase, depth, ox, oy, oz, dx, dy, dz, tr, tg, tb,
              lr, lg, lb, rr_, rg_, rb_, emit_f, misp_f, ppdf, pfr, pfg, pfb,
              pdelta_f, prev_obj, qx, qy, qz, pmr, pmg, pmb, pmobj, pmtab,
-             gtab) = st
+             gplanes) = st
+            acc = list(gplanes)
             o = (ox, oy, oz)
             d = (dx, dy, dz)
             t3 = (tr, tg, tb)
@@ -301,7 +294,6 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
             w = 1.0 / jnp.where(denom == 0, 1.0, denom)
             apply_w = (misp_f > 0) & active
 
-            acc = {}
             # F = pend_mat ⊙ s: everything still remaining is downstream of F
             fmask = apply_w & grading & (pmtab >= 0)
             pm = (pmr, pmg, pmb)
@@ -418,9 +410,8 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
                     for k in range(K):
                         mk = gm & (row == k)
                         for cidx, v in zip((6, 7, 8), vals_le):
-                            acc[(k, cidx)] = acc.get((k, cidx), 0.0) + jnp.sum(
-                                jnp.where(mk, v, 0.0)
-                            )
+                            i = PK_INDEX[(k, cidx)]
+                            acc[i] = acc[i] + jnp.where(mk, v, 0.0)
                     # ∂/∂diffuse or ∂/∂specular at the hit object
                     vals_mat = tuple(b * s_sel * l_ for b, l_ in zip(base, le))
                     acc = scatter_obj(acc, gm & m_lam, obj, (0, 1, 2), vals_mat)
@@ -501,7 +492,6 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
                 (6, 7, 8),
                 tuple(gc * tc for gc, tc in zip(g3, t_em)),
             )
-            gtab = flush_acc(gtab, acc)
             rrem = vwhere(emitter & grading, vsub(rrem, cem), rrem)
 
             continuing = survive & (m_trans | (pdf_b != 0))
@@ -550,15 +540,23 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
                 jnp.where(sc, mat_cont[2], 1.0),
                 jnp.where(sc, obj, -1),
                 new_pmtab,
-                gtab,
+                tuple(acc),
             )
 
         final = jax.lax.while_loop(cond, body, init_state())
-        out_ref[0] = final[-1]
+        planes = final[-1]
+        gtab = jnp.zeros((Krows, 16), jnp.float32)
+        _b_rows = jax.lax.broadcasted_iota(jnp.int32, (Krows, 16), 0)
+        _b_cols = jax.lax.broadcasted_iota(jnp.int32, (Krows, 16), 1)
+        for (k, c), plane in zip(PLANE_KEYS, planes):
+            basis = ((_b_rows == k) & (_b_cols == c)).astype(jnp.float32)
+            gtab = gtab + jnp.sum(plane) * basis
+        out_ref[0] = gtab
 
     return kernel
 
 
+@partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
 def material_grads(
     scene: Scene,
     key: jax.Array,
