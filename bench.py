@@ -98,16 +98,18 @@ def main():
     from kajo_tpu.ops.pallas.megakernel_grad import material_grads
 
     if engine == "mega":
-        gcot = np.ones((H, W, 3), np.float32)
-        jax.block_until_ready(
-            material_grads(scene, key, gcot, W, H, SPP, config)["diffuse"]
-        )  # compile
-        n_g = 5
+        import jax.numpy as jnp
+
+        gcot = jnp.ones((H, W, 3), jnp.float32)
+        np.asarray(material_grads(scene, key, gcot, W, H, SPP, config)["diffuse"])  # compile
+        n_g = 10
         t0 = time.time()
         for i in range(n_g):
             img2 = render_pass_engine(engine, scene, jax.random.fold_in(key, 50 + i), W, H, SPP, config)
             gr = material_grads(scene, jax.random.fold_in(key, 50 + i), gcot, W, H, SPP, config)
-        jax.block_until_ready(gr["diffuse"])
+        # force real synchronization (block_until_ready returns early on this
+        # runtime for small outputs): host-transfer a value from each result
+        _ = float(np.asarray(gr["diffuse"]).sum()) + float(np.asarray(img2)[0, 0, 0])
         dt_g = time.time() - t0
         grad_samples_per_s = n_g * samples_per_pass / dt_g
     else:
