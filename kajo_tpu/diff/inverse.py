@@ -27,8 +27,14 @@ import optax
 
 from ..models.integrator import RenderConfig
 from ..models.wavefront import render_pass_budget
+from ..ops.pallas import megakernel, megakernel_grad
 from ..parallel.render import render_pass_sharded
 from ..scene.types import Scene
+
+# Parameters the fused Pallas backward kernel can differentiate
+# (ops/pallas/megakernel_grad.py); geometry and the remaining material fields
+# use the jax budget engine.
+MEGA_DIFF_PARAMS = frozenset({"diffuse", "specular", "emission"})
 
 # Leaves exposed to the optimizer by default (config 4: position/radius/albedo).
 DEFAULT_PARAM_SPEC = ("sphere_transform", "sphere_radius", "diffuse")
@@ -106,10 +112,24 @@ class InverseRenderer:
     config: RenderConfig = RenderConfig()
     mesh: Any = None
     param_spec: tuple = DEFAULT_PARAM_SPEC
-
     decay_steps: int = 0  # >0: cosine-decay the lr to 10% over this many steps
+    # "auto" uses the fused Pallas fwd+bwd kernels when the scene supports the
+    # megakernel, the backend is TPU, and every optimized parameter is in
+    # MEGA_DIFF_PARAMS; otherwise the differentiable jax budget engine.
+    engine: str = "auto"
 
     def __post_init__(self):
+        if self.engine == "auto":
+            self.engine = (
+                "mega"
+                if (
+                    jax.default_backend() == "tpu"
+                    and self.mesh is None
+                    and megakernel.supports(self.scene)
+                    and set(self.param_spec) <= MEGA_DIFF_PARAMS
+                )
+                else "jax"
+            )
         self.params = extract_params(self.scene, self.param_spec)
         if self.decay_steps:
             schedule = optax.cosine_decay_schedule(self.learning_rate, self.decay_steps, 0.1)
@@ -121,20 +141,39 @@ class InverseRenderer:
         cfg, mesh = self.config, self.mesh
         w, h, spp = self.width, self.height, self.spp
 
+        # scene and target are closed over (they never change between steps):
+        # as jit constants they fold into the compiled step, which both
+        # compiles and runs much faster than passing them as traced arguments
+        base_scene = jax.tree.map(jnp.asarray, self.scene)
+        target = jnp.asarray(self.target)
+
+        if self.engine == "mega":
+            render = megakernel_grad.make_diff_renderer(w, h, spp, cfg)
+
+            def loss_fn(params, key):
+                updated = apply_params(base_scene, params)
+                k1, k2 = jax.random.split(key)
+                d1 = render(updated, k1)[..., :3] - target[..., :3]
+                d2 = render(updated, k2)[..., :3] - target[..., :3]
+                return jnp.mean(d1 * d2)
+
+        else:
+
+            def loss_fn(params, key):
+                return render_loss(
+                    params, base_scene, target, key, w, h, spp, cfg, mesh
+                )
+
         @jax.jit
-        def step(params, opt_state, scene, target, key):
-            loss, grads = jax.value_and_grad(render_loss)(
-                params, scene, target, key, w, h, spp, cfg, mesh
-            )
+        def step(params, opt_state, key):
+            loss, grads = jax.value_and_grad(loss_fn)(params, key)
             updates, opt_state = self.opt.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
         self._step = step
 
     def step(self, key: jax.Array):
-        self.params, self.opt_state, loss = self._step(
-            self.params, self.opt_state, self.scene, self.target, key
-        )
+        self.params, self.opt_state, loss = self._step(self.params, self.opt_state, key)
         return float(loss)
 
     def run(self, steps: int, key: jax.Array):

@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...models.integrator import RenderConfig
-from ...ops.geometry import camera_basis, prepare_scene
+from ...ops.geometry import prepare_scene
 from ...ops.rng import seed_from_key
 from ...scene.types import Scene
 
