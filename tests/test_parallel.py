@@ -49,3 +49,16 @@ def test_gradient_through_sharded_render():
     ))(scene.materials.diffuse)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_multihost_entrypoint_single_process(tmp_path):
+    # single-process: initialize is a no-op, render lands on "host 0"
+    from kajo_tpu.parallel import multihost
+    from kajo_tpu.scene.testscene import build_test_scene
+
+    multihost.initialize()
+    img = multihost.render_distributed(
+        build_test_scene(1.0), 16, 16, 4, jax.random.PRNGKey(0), passes=1, config=CFG
+    )
+    assert img is not None and img.shape == (16, 16, 4)
+    assert np.isfinite(img).all()
