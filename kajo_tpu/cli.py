@@ -50,6 +50,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true", help="resume from --checkpoint if present")
     p.add_argument("--platform", default=None, help="force a jax platform (e.g. cpu)")
     p.add_argument("--preview", action="store_true", help="live ANSI preview in the terminal")
+    p.add_argument("--shard", action="store_true", help="shard rays over all local devices")
     p.add_argument("--profile", default=None, metavar="DIR", help="capture a jax profiler trace to DIR")
     p.add_argument(
         "--engine",
@@ -113,7 +114,14 @@ def main(argv=None) -> int:
         except FileNotFoundError:
             pass
 
-    engine = select_engine(scene, args.engine)
+    # the reference's -r selects its backend; map those names onto engines
+    # (cpu -> the scalar-spec parity scan, gl -> the wavefront lineage)
+    requested = args.engine
+    if requested == "auto" and args.renderer == "cpu":
+        requested = "parity"
+    elif requested == "auto" and args.renderer == "gl":
+        requested = "fast"
+    engine = select_engine(scene, requested)
     print(f"engine: {engine}", file=sys.stderr)
     if args.profile:
         jax.profiler.start_trace(args.profile)
@@ -124,9 +132,17 @@ def main(argv=None) -> int:
     try:
         for p in range(start_pass, start_pass + n_passes):
             t_pass = time.time()
-            pass_img = render_pass_engine(
-                engine, scene, jax.random.fold_in(key, p), args.width, args.height, args.spp, config
-            )
+            if args.shard:
+                from .parallel.render import make_mesh, render_pass_sharded
+
+                pass_img = render_pass_sharded(
+                    scene, jax.random.fold_in(key, p), args.width, args.height,
+                    args.spp, config, make_mesh(),
+                )
+            else:
+                pass_img = render_pass_engine(
+                    engine, scene, jax.random.fold_in(key, p), args.width, args.height, args.spp, config
+                )
             total += np.asarray(pass_img)
             done = p + 1
             pass_samples = args.width * args.height * eff_spp
