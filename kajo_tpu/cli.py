@@ -126,26 +126,40 @@ def main(argv=None) -> int:
     if args.profile:
         jax.profiler.start_trace(args.profile)
     n_passes = args.passes if args.passes > 0 else 1 << 30
+    # dispatch overhead dominates small passes; the megakernel engine batches
+    # several passes per device dispatch (preview still updates per batch)
+    batch = 4 if (engine == "mega" and not args.shard) else 1
     t0 = time.time()
     samples_done = 0
     done = start_pass
+    first = True
     try:
-        for p in range(start_pass, start_pass + n_passes):
+        p = start_pass
+        while p < start_pass + n_passes:
             t_pass = time.time()
+            nb = min(batch, start_pass + n_passes - p)
             if args.shard:
                 from .parallel.render import make_mesh, render_pass_sharded
 
+                nb = 1
                 pass_img = render_pass_sharded(
                     scene, jax.random.fold_in(key, p), args.width, args.height,
                     args.spp, config, make_mesh(),
+                )
+            elif nb > 1:
+                from .ops.pallas.megakernel import render_passes_megakernel
+
+                pass_img = render_passes_megakernel(
+                    scene, key, p, args.width, args.height, args.spp, nb, config
                 )
             else:
                 pass_img = render_pass_engine(
                     engine, scene, jax.random.fold_in(key, p), args.width, args.height, args.spp, config
                 )
             total += np.asarray(pass_img)
-            done = p + 1
-            pass_samples = args.width * args.height * eff_spp
+            done = p + nb
+            p = done
+            pass_samples = nb * args.width * args.height * eff_spp
             samples_done += pass_samples
             now = time.time()
             elapsed = now - t0
@@ -153,9 +167,10 @@ def main(argv=None) -> int:
             print(
                 f"pass {done}: {args.width}x{args.height}, {elapsed:.1f}s, "
                 f"{done * eff_spp} samples/pixel, {format_si(rate)} samples/s"
-                + (" (incl. compile)" if p == start_pass else ""),
+                + (" (incl. compile)" if first else ""),
                 file=sys.stderr,
             )
+            first = False
             if args.preview:
                 from .utils.preview import show
 

@@ -618,3 +618,32 @@ def render_pass_megakernel(
     rgb = out.reshape(3, rows_pad * 128)[:, :n].T / divisor
     img = jnp.concatenate([rgb, jnp.ones((n, 1), jnp.float32)], axis=1)
     return img.reshape(height, width, 4)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "n_passes", "config"))
+def render_passes_megakernel(
+    scene: Scene,
+    key: jax.Array,
+    pass_offset: jax.Array,
+    width: int,
+    height: int,
+    spp: int,
+    n_passes: int,
+    config: RenderConfig = RenderConfig(),
+) -> jax.Array:
+    """Sum of ``n_passes`` progressive passes in ONE dispatch.
+
+    Per-call dispatch latency on the remote TPU runtime (~50 ms) dominates a
+    24 ms kernel at interactive sizes; batching passes under one jit + scan
+    amortizes it. Pass keys are fold_in(key, pass_offset + i), identical to
+    the unbatched progressive loop."""
+    def body(carry, i):
+        img = render_pass_megakernel(
+            scene, jax.random.fold_in(key, pass_offset + i), width, height, spp, config
+        )
+        return carry + img, None
+
+    total, _ = jax.lax.scan(
+        body, jnp.zeros((height, width, 4), jnp.float32), jnp.arange(n_passes)
+    )
+    return total
