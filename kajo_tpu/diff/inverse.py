@@ -18,7 +18,7 @@ scene-parameter gradients all-reduced over the mesh automatically by XLA
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 from typing import Any, Dict
 
 import jax

@@ -35,6 +35,7 @@ from ..utils.math3d import unproject
 from .sampling import safe_normalize, safe_sqrt
 
 FLT_EPSILON = jnp.float32(1.1920928955078125e-07)
+INF = jnp.float32(jnp.inf)
 # All geometry matmuls must run at full f32: the TPU's default bf16-pass
 # matmul precision visibly shifts ray-object intersections.
 HI = jax.lax.Precision.HIGHEST
@@ -42,7 +43,6 @@ HI = jax.lax.Precision.HIGHEST
 
 def _mm(a, b):
     return jnp.matmul(a, b, precision=HI)
-INF = jnp.float32(jnp.inf)
 
 
 def _pytree_dataclass(cls):
