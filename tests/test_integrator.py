@@ -169,3 +169,40 @@ def test_backface_reflector_no_nan():
     scene = parser.loads(json.dumps(scene_src), 32 / 24)
     img = np.asarray(render_pass(scene, jax.random.PRNGKey(19), 32, 24, 16))
     assert np.isfinite(img).all()
+
+
+def test_emissive_enclosure_exact():
+    # camera inside a large pure-emissive sphere: every camera ray hits it,
+    # the RR coin kills immediately (no reflectance), and the estimator
+    # returns exactly emission/1 — deterministically, on every engine
+    from kajo_tpu.models.wavefront import render_pass_budget, render_pass_fast
+    from kajo_tpu.ops.pallas.megakernel import render_pass_megakernel
+    from kajo_tpu.scene.types import Camera, make_scene
+    from kajo_tpu.utils import math3d
+    from jax.experimental.pallas import tpu as pltpu
+
+    camera = Camera(
+        transform=math3d.look_at([0, 0, 0], [0, 0, 1], [0, -1, 0]),
+        projection=math3d.perspective(60.0, 1.0, 0.1, 100.0),
+    )
+    scene = make_scene(
+        camera,
+        np.zeros(4, np.float32),
+        [],
+        [{
+            "transform": math3d.identity(),
+            "radius": 10.0,
+            "material": {"emission": np.array([2.5, 1.5, 0.5, 0], np.float32)},
+        }],
+    )
+    expected = np.array([2.5, 1.5, 0.5])
+    for engine in (render_pass, render_pass_fast, render_pass_budget):
+        img = np.asarray(engine(scene, jax.random.PRNGKey(0), 8, 8, 4))
+        np.testing.assert_allclose(
+            img[..., :3], np.broadcast_to(expected, img[..., :3].shape), rtol=1e-5
+        )
+    with pltpu.force_tpu_interpret_mode():
+        img = np.asarray(render_pass_megakernel(scene, jax.random.PRNGKey(0), 8, 8, 4))
+    np.testing.assert_allclose(
+        img[..., :3], np.broadcast_to(expected, img[..., :3].shape), rtol=1e-5
+    )
