@@ -125,7 +125,7 @@ class InverseRenderer:
                 if (
                     jax.default_backend() == "tpu"
                     and self.mesh is None
-                    and megakernel.supports(self.scene)
+                    and megakernel_grad.supports(self.scene)
                     and set(self.param_spec) <= MEGA_DIFF_PARAMS
                 )
                 else "jax"

@@ -42,7 +42,13 @@ from ...ops.rng import seed_from_key
 from ...scene.types import Scene
 
 TILE_ROWS = 32  # 32 x 128 = 4096 lanes per grid cell
-MAX_KERNEL_OBJECTS = 192
+# Small scenes get fully unrolled object loops (max ILP: 133M samples/s on
+# spheres.json); above this the kernel switches to fori_loop with dynamic
+# SMEM reads — compile time stays O(1) in the object count (unrolling ~32
+# objects already takes >20 min on this toolchain) at ~40% of the unrolled
+# per-object throughput.
+UNROLL_OBJECTS = 12
+MAX_KERNEL_OBJECTS = 512
 _INV24 = np.float32(1.0 / (1 << 24))
 FLT_EPSILON = np.float32(1.1920928955078125e-07)
 BIG = np.float32(3.0e38)
@@ -283,8 +289,37 @@ def _build_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L):
                 n_best = vwhere(valid, vfull((r[5], r[6], r[7]), zf), n_best)
             d_dot_o = vdot(d, o)
             o2 = vdot(o, o)
-            for i in range(S):
-                cx, cy, cz, r2 = sphere_rec(i)
+            if S <= UNROLL_OBJECTS:
+                for i in range(S):
+                    cx, cy, cz, r2 = sphere_rec(i)
+                    d_dot_c = d[0] * cx + d[1] * cy + d[2] * cz
+                    o_dot_c = o[0] * cx + o[1] * cy + o[2] * cz
+                    b = 2.0 * (d_dot_o - d_dot_c)
+                    cq = o2 - 2.0 * o_dot_c + (cx * cx + cy * cy + cz * cz - r2)
+                    discr = b * b - 4.0 * cq
+                    sq = safe_sqrt(discr)
+                    q = jnp.where(b < 0, (-b - sq) * 0.5, (-b + sq) * 0.5)
+                    t1 = cq / jnp.where(q == 0, 1.0, q)
+                    lo = jnp.minimum(q, t1)
+                    hi = jnp.maximum(q, t1)
+                    t = jnp.where(lo < 0, hi, lo)
+                    valid = (discr >= 0) & (hi >= 0) & (q != 0) & (t >= 0) & (t < t_best)
+                    t_best = jnp.where(valid, t, t_best)
+                    obj_best = jnp.where(valid, P + i, obj_best)
+                    n_new = vnormalize(vsub(vadd(o, vscale(d, t)), vfull((cx, cy, cz), zf)))
+                    n_best = vwhere(valid, n_new, n_best)
+                return t_best, obj_best, n_best
+
+            def sphere_step(i, carry):
+                # dynamic SMEM scalar reads keep the Mosaic graph size O(1)
+                # in the object count (unrolling >~16 objects explodes
+                # compile time on this toolchain)
+                t_best, obj_best, n0, n1, n2 = carry
+                base = off_spheres + i * _SP
+                cx = scn_ref[0, base]
+                cy = scn_ref[0, base + 1]
+                cz = scn_ref[0, base + 2]
+                r2 = scn_ref[0, base + 3]
                 d_dot_c = d[0] * cx + d[1] * cy + d[2] * cz
                 o_dot_c = o[0] * cx + o[1] * cy + o[2] * cz
                 b = 2.0 * (d_dot_o - d_dot_c)
@@ -297,11 +332,19 @@ def _build_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L):
                 hi = jnp.maximum(q, t1)
                 t = jnp.where(lo < 0, hi, lo)
                 valid = (discr >= 0) & (hi >= 0) & (q != 0) & (t >= 0) & (t < t_best)
-                t_best = jnp.where(valid, t, t_best)
-                obj_best = jnp.where(valid, P + i, obj_best)
                 n_new = vnormalize(vsub(vadd(o, vscale(d, t)), vfull((cx, cy, cz), zf)))
-                n_best = vwhere(valid, n_new, n_best)
-            return t_best, obj_best, n_best
+                return (
+                    jnp.where(valid, t, t_best),
+                    jnp.where(valid, P + i, obj_best),
+                    jnp.where(valid, n_new[0], n0),
+                    jnp.where(valid, n_new[1], n1),
+                    jnp.where(valid, n_new[2], n2),
+                )
+
+            t_best, obj_best, n0, n1, n2 = jax.lax.fori_loop(
+                0, S, sphere_step, (t_best, obj_best, n_best[0], n_best[1], n_best[2])
+            )
+            return t_best, obj_best, (n0, n1, n2)
 
         def tangent_frame(n):
             smallest = jnp.minimum(n[2], jnp.minimum(n[0], n[1]))
@@ -314,13 +357,21 @@ def _build_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L):
             return t, vcross(n, t)
 
         def gather_mat(obj):
-            fields = [zf] * _MA
-            for k in range(K):
-                rec = mat_rec(k)
+            if K <= UNROLL_OBJECTS + 8:  # kajo scenes: 11 spheres+planes -> 11..17 mats
+                fields = [zf] * _MA
+                for k in range(K):
+                    rec = mat_rec(k)
+                    m = (obj == k).astype(jnp.float32)
+                    for f in range(_MA):
+                        fields[f] = fields[f] + m * rec[f]
+                return fields
+
+            def mat_step(k, fields):
+                base = off_mats + k * _MA
                 m = (obj == k).astype(jnp.float32)
-                for f in range(_MA):
-                    fields[f] = fields[f] + m * rec[f]
-            return fields
+                return tuple(fields[f] + m * scn_ref[0, base + f] for f in range(_MA))
+
+            return list(jax.lax.fori_loop(0, K, mat_step, tuple([zf] * _MA)))
 
         def solid_angle(dist, rad):
             x = jnp.clip(rad / jnp.maximum(dist, 1e-30), 0.0, 1.0)

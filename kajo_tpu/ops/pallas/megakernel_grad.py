@@ -42,7 +42,7 @@ from ...models.integrator import RenderConfig
 from ...ops.geometry import prepare_scene
 from ...ops.rng import seed_from_key
 from ...scene.types import Scene
-from .megakernel import (
+from .megakernel import (  # noqa: F401 (UNROLL re-exported for the gate below)
     BIG,
     FLT_EPSILON,
     PI,
@@ -66,6 +66,17 @@ from .megakernel import (
     vsub,
     vwhere,
 )
+
+
+# the grad kernel keeps fully unrolled object loops (its body is already ~3x
+# the forward's); compile time limits it to small scenes
+MAX_GRAD_OBJECTS = 24
+
+
+def supports(scene: Scene) -> bool:
+    from .megakernel import supports as fwd_supports
+
+    return bool(fwd_supports(scene) and scene.num_objects <= MAX_GRAD_OBJECTS)
 
 
 def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L):
