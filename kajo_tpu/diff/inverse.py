@@ -74,8 +74,13 @@ def render_loss(
     spp: int,
     config: RenderConfig = RenderConfig(),
     mesh=None,
+    loss_clip=None,
 ):
     """Unbiased L2 loss between the stochastic render and the target.
+
+    ``loss_clip`` clamps both render and target before comparing (display-space
+    style): HDR direct-light pixels otherwise dominate the loss by orders of
+    magnitude and their Monte-Carlo noise swamps every other gradient.
 
     Plain MSE of a noisy render against the target contains a θ-dependent
     *variance* term — E[(X(θ)-T)²] = (E[X]-T)² + Var[X(θ)] — which pulls the
@@ -94,9 +99,13 @@ def render_loss(
     else:
         img1 = render_pass_sharded(updated, k1, width, height, spp, config, mesh)
         img2 = render_pass_sharded(updated, k2, width, height, spp, config, mesh)
-    d1 = img1[..., :3] - target[..., :3]
-    d2 = img2[..., :3] - target[..., :3]
-    return jnp.mean(d1 * d2)
+    t = target[..., :3]
+    i1, i2 = img1[..., :3], img2[..., :3]
+    if loss_clip is not None:
+        t = jnp.clip(t, 0.0, loss_clip)
+        i1 = jnp.clip(i1, 0.0, loss_clip)
+        i2 = jnp.clip(i2, 0.0, loss_clip)
+    return jnp.mean((i1 - t) * (i2 - t))
 
 
 @dataclasses.dataclass
@@ -117,6 +126,7 @@ class InverseRenderer:
     # megakernel, the backend is TPU, and every optimized parameter is in
     # MEGA_DIFF_PARAMS; otherwise the differentiable jax budget engine.
     engine: str = "auto"
+    loss_clip: Any = None  # clamp render+target in the loss (HDR stability)
 
     def __post_init__(self):
         if self.engine == "auto":
@@ -150,18 +160,25 @@ class InverseRenderer:
         if self.engine == "mega":
             render = megakernel_grad.make_diff_renderer(w, h, spp, cfg)
 
+            clip = self.loss_clip
+
             def loss_fn(params, key):
                 updated = apply_params(base_scene, params)
                 k1, k2 = jax.random.split(key)
-                d1 = render(updated, k1)[..., :3] - target[..., :3]
-                d2 = render(updated, k2)[..., :3] - target[..., :3]
-                return jnp.mean(d1 * d2)
+                t = target[..., :3]
+                i1 = render(updated, k1)[..., :3]
+                i2 = render(updated, k2)[..., :3]
+                if clip is not None:
+                    t = jnp.clip(t, 0.0, clip)
+                    i1 = jnp.clip(i1, 0.0, clip)
+                    i2 = jnp.clip(i2, 0.0, clip)
+                return jnp.mean((i1 - t) * (i2 - t))
 
         else:
 
             def loss_fn(params, key):
                 return render_loss(
-                    params, base_scene, target, key, w, h, spp, cfg, mesh
+                    params, base_scene, target, key, w, h, spp, cfg, mesh, self.loss_clip
                 )
 
         @jax.jit
