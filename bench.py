@@ -128,6 +128,22 @@ def main():
         dt_g = time.time() - t0
         grad_samples_per_s = (W // 2) * (H // 2) * 4 / dt_g
 
+    # config-3 extra: the caustics scene (delta BSDFs + refraction)
+    caustics_rate = None
+    try:
+        scene_c = parser.load(os.path.join(REPO, "data", "caustics.json"), W / H)
+        eng_c = select_engine(scene_c)
+        render_pass_engine(eng_c, scene_c, key, W, H, SPP, config).block_until_ready()
+        t0 = time.time()
+        for i in range(n_timed):
+            img_c = render_pass_engine(
+                eng_c, scene_c, jax.random.fold_in(key, 90 + i), W, H, SPP, config
+            )
+        img_c.block_until_ready()
+        caustics_rate = round(n_timed * samples_per_pass / (time.time() - t0))
+    except Exception:
+        pass
+
     result = {
         "metric": f"samples/s/chip spheres.json {W}x{H} {eff}spp full-MIS path tracing",
         "value": round(samples_per_s),
@@ -136,6 +152,7 @@ def main():
         "baseline_cpp_samples_per_s": round(baseline),
         "baseline_live": live,
         "grad_samples_per_s": round(grad_samples_per_s),
+        "caustics_samples_per_s": caustics_rate,
         "engine": engine,
         "device": str(jax.devices()[0]),
     }
