@@ -206,3 +206,19 @@ def test_emissive_enclosure_exact():
     np.testing.assert_allclose(
         img[..., :3], np.broadcast_to(expected, img[..., :3].shape), rtol=1e-5
     )
+
+
+def test_engine_selection():
+    import dataclasses
+
+    from kajo_tpu.models.engine import select_engine
+
+    scene = parser.load(f"{REFERENCE_DATA}/spheres.json", 1.0)
+    # explicit requests pass through
+    assert select_engine(scene, "parity") == "parity"
+    assert select_engine(scene, "mega") == "mega"
+    # auto on CPU backend -> fast (mega requires TPU)
+    assert select_engine(scene, "auto") == "fast"
+    # non-rigid scenes can never select mega
+    bent = dataclasses.replace(scene, rigid_spheres=False)
+    assert select_engine(bent, "auto") == "fast"
