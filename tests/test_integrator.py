@@ -222,3 +222,15 @@ def test_engine_selection():
     # non-rigid scenes can never select mega
     bent = dataclasses.replace(scene, rigid_spheres=False)
     assert select_engine(bent, "auto") == "fast"
+
+
+def test_wavefront_stats_counters():
+    from kajo_tpu.models.wavefront import render_pass_fast_stats
+
+    scene = parser.load(f"{REFERENCE_DATA}/spheres.json", 1.0)
+    img, iters, rays = render_pass_fast_stats(scene, jax.random.PRNGKey(0), 16, 16, 4)
+    assert img.shape == (16, 16, 4)
+    n_iters = int(iters)
+    assert n_iters >= 4  # at least one iteration per stratified sample
+    # rays = iterations x lanes x (1 + lights)
+    assert int(rays) == n_iters * 16 * 16 * 2
