@@ -361,7 +361,7 @@ def render_pass_fast_stats(
     rgb, iters = render_lanes(prep, lane, seed, width, height, eff, grid, config)
     rgb = rgb / divisor
     img = jnp.concatenate([rgb, jnp.ones((n, 1), jnp.float32)], axis=1)
-    rays = iters.astype(jnp.int64) * n * (1 + prep.light_obj.shape[0])
+    rays = iters.astype(jnp.int32) * n * (1 + prep.light_obj.shape[0])
     return img.reshape(height, width, 4), iters, rays
 
 
