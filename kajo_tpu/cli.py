@@ -42,6 +42,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0, help="RNG seed")
     p.add_argument("--epsilon", type=float, default=1e-3, help="secondary-ray surface offset")
     p.add_argument("--full-mis", action="store_true", help="unbiased full balance-heuristic MIS")
+    p.add_argument(
+        "--regen-threshold",
+        type=float,
+        default=None,
+        help="cull lanes when throughput max drops below this (the reference GL "
+        "backend's biased occupancy trick, 0.01 there; default 0 = exact; "
+        "-r gl implies 0.01)",
+    )
     p.add_argument("--exact-spp", action="store_true", help="disable kajo's 25/32 spp quirk")
     p.add_argument("--no-direct", action="store_true", help="disable NEE (pure BSDF path tracing)")
     p.add_argument("-o", "--out", default="out.png", help="output PNG (out.png)")
@@ -86,31 +94,58 @@ def main(argv=None) -> int:
     from .utils.format import format_si
     from .utils.image import save_png
 
-    aspect = args.width / args.height
     if args.scene:
-        scene = parser.load(args.scene, aspect)
+        scene = parser.load(args.scene, args.width / args.height)
     else:
-        scene = build_test_scene(aspect)
+        # the reference hardcodes a 4:3 projection for its built-in scene
+        # regardless of -w/-h (Main.cpp:91); match it for parity
+        scene = build_test_scene(4.0 / 3.0)
 
+    regen = args.regen_threshold
+    if regen is None:
+        # the reference GL backend always culls at 0.01 (SurfaceShader.cpp:89)
+        regen = 0.01 if args.renderer == "gl" else 0.0
     config = RenderConfig(
         max_depth=args.depth,
         surface_epsilon=args.epsilon,
         direct_lighting=not args.no_direct,
         full_mis=args.full_mis,
         kajo_spp_quirk=not args.exact_spp,
+        regen_threshold=regen,
     )
     key = jax.random.PRNGKey(args.seed)
     grid = max(int(args.spp**0.5), 1)
     eff_spp = grid * grid
 
+    # fields a checkpoint must match to be safely blended into this run's
+    # accumulation (resuming a different scene/seed/config would silently
+    # mix unrelated renders)
+    ck_meta = dict(
+        scene=str(args.scene or "<builtin>"),
+        width=args.width,
+        height=args.height,
+        spp=args.spp,
+        seed=args.seed,
+    )
     total = np.zeros((args.height, args.width, 4), np.float32)
     start_pass = 0
     if args.resume and args.checkpoint:
         try:
             ck = np.load(args.checkpoint)
-            total = ck["total"]
-            start_pass = int(ck["passes"])
-            print(f"resumed from {args.checkpoint} at pass {start_pass}", file=sys.stderr)
+            mismatched = [
+                k for k, v in ck_meta.items() if k in ck and str(ck[k]) != str(v)
+            ]
+            if mismatched:
+                print(
+                    f"checkpoint {args.checkpoint} does not match this run "
+                    f"({', '.join(f'{k}: {ck[k]} != {ck_meta[k]}' for k in mismatched)}); "
+                    "starting fresh",
+                    file=sys.stderr,
+                )
+            else:
+                total = ck["total"]
+                start_pass = int(ck["passes"])
+                print(f"resumed from {args.checkpoint} at pass {start_pass}", file=sys.stderr)
         except FileNotFoundError:
             pass
 
@@ -133,6 +168,8 @@ def main(argv=None) -> int:
     samples_done = 0
     done = start_pass
     first = True
+    last_save_bucket = start_pass // args.save_every if args.save_every else 0
+    n_dev = len(jax.devices()) if args.shard else 1
     try:
         p = start_pass
         while p < start_pass + n_passes:
@@ -164,9 +201,16 @@ def main(argv=None) -> int:
             now = time.time()
             elapsed = now - t0
             rate = pass_samples / max(now - t_pass, 1e-9)
+            # per-device throughput: the TPU translation of the reference
+            # preview's per-thread bars (Preview.cpp:183-201) — SPMD shards
+            # are equal, so one number per device tells the same story
+            per_dev = (
+                f" [{n_dev} devices x {format_si(rate / n_dev)}/dev]" if n_dev > 1 else ""
+            )
             print(
                 f"pass {done}: {args.width}x{args.height}, {elapsed:.1f}s, "
                 f"{done * eff_spp} samples/pixel, {format_si(rate)} samples/s"
+                + per_dev
                 + (" (incl. compile)" if first else ""),
                 file=sys.stderr,
             )
@@ -179,10 +223,13 @@ def main(argv=None) -> int:
                     f"pass {done}  {args.width}x{args.height}  {elapsed:.1f}s  "
                     f"{done * eff_spp} spp  {format_si(rate)} samples/s",
                 )
-            if args.save_every and done % args.save_every == 0:
+            # bucket-based periodic save: batched engines advance several
+            # passes at once, so exact divisibility would skip saves
+            if args.save_every and done // args.save_every > last_save_bucket:
+                last_save_bucket = done // args.save_every
                 save_png(args.out, total / done)
             if args.checkpoint:
-                np.savez(args.checkpoint, total=total, passes=done, seed=args.seed)
+                np.savez(args.checkpoint, total=total, passes=done, **ck_meta)
     except KeyboardInterrupt:
         print("interrupted, saving", file=sys.stderr)
 

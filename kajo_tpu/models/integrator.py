@@ -70,6 +70,13 @@ class RenderConfig:
     # stratified samples (cpu/Renderer.cpp:21,38,71) — a constant 25/32-style
     # brightness bias. Keep for parity; set False for exact-spp normalization.
     kajo_spp_quirk: bool = True
+    # The reference GL backend culls lanes whose path throughput drops below
+    # 0.01, regenerating a fresh camera ray in place — a slightly biased
+    # occupancy trick (gl/SurfaceShader.cpp:88-93). 0.0 (default) keeps the
+    # exact estimator; set 0.01 to approximate the GL backend's semantics
+    # (honored by the fast wavefront and megakernel engines; the parity scan
+    # is fixed-depth and ignores it).
+    regen_threshold: float = 0.0
 
 
 def _maxrgb(c):

@@ -584,6 +584,11 @@ def _build_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L):
             t3 = vwhere(m_trans, vmul(t3, fcos), t3)
             r3 = vwhere(emitter, vadd(r3, vmul(vwhere(survive, t3, tk), me)), r3)
             continuing = survive & (m_trans | (pdf_b != 0))
+            if config.regen_threshold > 0.0:
+                # GL-backend throughput culling (gl/SurfaceShader.cpp:88-93);
+                # see models/wavefront.py for the semantics note
+                tmax = jnp.maximum(jnp.maximum(t3[0], t3[1]), t3[2])
+                continuing = continuing & (tmax >= np.float32(config.regen_threshold))
 
             # regeneration
             path_end = active & ~continuing

@@ -62,6 +62,24 @@ def test_checkpoint_resume(tmp_path):
     assert int(np.load(ck)["passes"]) == 3
 
 
+def test_checkpoint_mismatch_refused(tmp_path):
+    """Resuming with a different config must not blend unrelated renders."""
+    out = tmp_path / "m.png"
+    ck = tmp_path / "state.npz"
+    r1 = run_cli(["-w", "16", "-h", "12", "--spp", "4", "--passes", "1",
+                  "-o", str(out), "--checkpoint", str(ck),
+                  "/root/reference/data/spheres.json"])
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    # different seed -> refuse the checkpoint, start fresh
+    r2 = run_cli(["-w", "16", "-h", "12", "--spp", "4", "--passes", "1",
+                  "--seed", "9", "-o", str(out), "--checkpoint", str(ck), "--resume",
+                  "/root/reference/data/spheres.json"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "does not match" in r2.stderr
+    assert "resumed" not in r2.stderr
+    assert int(np.load(ck)["passes"]) == 1
+
+
 def test_bad_scene_path_fails():
     r = run_cli(["/nonexistent/scene.json", "--passes", "1"])
     assert r.returncode != 0
