@@ -176,12 +176,12 @@ def main(argv=None) -> int:
             t_pass = time.time()
             nb = min(batch, start_pass + n_passes - p)
             if args.shard:
-                from .parallel.render import make_mesh, render_pass_sharded
+                from .parallel.render import make_mesh, render_pass_sharded_engine
 
                 nb = 1
-                pass_img = render_pass_sharded(
-                    scene, jax.random.fold_in(key, p), args.width, args.height,
-                    args.spp, config, make_mesh(),
+                pass_img = render_pass_sharded_engine(
+                    engine, scene, jax.random.fold_in(key, p), args.width,
+                    args.height, args.spp, config, make_mesh(),
                 )
             elif nb > 1:
                 from .ops.pallas.megakernel import render_passes_megakernel

@@ -229,6 +229,11 @@ def _build_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L):
             return scn_ref[0, i]
 
         seed = seed_ref[0, 0]
+        # global lane offset of this kernel invocation: 0 unsharded, or the
+        # device's block start under shard_map — lane ids (and therefore the
+        # PCG4D streams and pixel assignment) are global either way, so a
+        # sharded render is bit-identical to the unsharded one
+        lane0 = seed_ref[0, 1].astype(jnp.int32)
         origin0 = (s_(off_cam), s_(off_cam + 1), s_(off_cam + 2))
         p1 = (s_(off_cam + 3), s_(off_cam + 4), s_(off_cam + 5))
         du = (s_(off_cam + 6), s_(off_cam + 7), s_(off_cam + 8))
@@ -238,7 +243,7 @@ def _build_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L):
         tile = pl.program_id(0)
         rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 1)
-        lane_i = (tile * TILE_ROWS + rows) * 128 + cols
+        lane_i = lane0 + (tile * TILE_ROWS + rows) * 128 + cols
         lane = lane_i.astype(jnp.uint32)
         in_image = lane_i < width * height
         px = (lane_i % width).astype(jnp.float32)
@@ -658,9 +663,18 @@ def render_pass_megakernel(
     kernel = _build_kernel(width, height, grid_n, eff, config, P, S, L)
 
     packed = _pack_scene(prep)
-    seed = jnp.asarray(seed_from_key(key), jnp.uint32).reshape(1, 1)
+    seed = jnp.asarray(seed_from_key(key), jnp.uint32)
+    seedbuf = jnp.stack([seed, jnp.uint32(0)]).reshape(1, 2)
 
-    out = pl.pallas_call(
+    out = _mega_call(kernel, seedbuf, packed, n_tiles, rows_pad)
+
+    rgb = out.reshape(3, rows_pad * 128)[:, :n].T / divisor
+    img = jnp.concatenate([rgb, jnp.ones((n, 1), jnp.float32)], axis=1)
+    return img.reshape(height, width, 4)
+
+
+def _mega_call(kernel, seedbuf, packed, n_tiles, rows_pad):
+    return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((3, rows_pad, 128), jnp.float32),
         grid=(n_tiles,),
@@ -669,9 +683,71 @@ def render_pass_megakernel(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((3, TILE_ROWS, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-    )(seed, packed)
+    )(seedbuf, packed)
 
-    rgb = out.reshape(3, rows_pad * 128)[:, :n].T / divisor
+
+@partial(
+    jax.jit, static_argnames=("width", "height", "spp", "config", "mesh", "axis_name")
+)
+def render_pass_megakernel_sharded(
+    scene: Scene,
+    key: jax.Array,
+    width: int,
+    height: int,
+    spp: int,
+    config: RenderConfig = RenderConfig(),
+    mesh=None,
+    axis_name: str = "data",
+) -> jax.Array:
+    """One megakernel pass with lane blocks sharded over ``mesh``.
+
+    Each device runs the SAME fused kernel on its contiguous block of global
+    lane ids (the TPU-native form of the reference scheduler's scanline
+    slices, cpu/Scheduler.cpp:32-42). Lane ids — and therefore pixel
+    assignment and the counter-based PCG4D streams — are global, so the
+    result is bit-identical to the unsharded megakernel. No communication:
+    pixel blocks are disjoint; the host assembles shards like the reference's
+    shared image rows."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Pspec
+
+    prep = prepare_scene(scene)
+    grid_n = max(int(spp**0.5), 1)
+    eff = grid_n * grid_n
+    divisor = float(spp if config.kajo_spp_quirk else eff)
+
+    n = width * height
+    n_dev = mesh.shape[axis_name]
+    # lanes per device, aligned to whole kernel tiles
+    lane_block = TILE_ROWS * 128
+    per_dev = -(-n // n_dev)
+    block = -(-per_dev // lane_block) * lane_block
+    rows_block = block // 128
+    tiles_block = rows_block // TILE_ROWS
+
+    P = scene.num_planes
+    S = scene.num_spheres
+    L = scene.num_lights
+    kernel = _build_kernel(width, height, grid_n, eff, config, P, S, L)
+
+    packed = _pack_scene(prep)
+    seed = jnp.asarray(seed_from_key(key), jnp.uint32)
+
+    def shard_fn(packed, seed):
+        dev = jax.lax.axis_index(axis_name)
+        lane0 = (dev * block).astype(jnp.uint32)
+        seedbuf = jnp.stack([seed.reshape(()), lane0]).reshape(1, 2)
+        return _mega_call(kernel, seedbuf, packed, tiles_block, rows_block)
+
+    out = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(Pspec(), Pspec()),
+        out_specs=Pspec(None, axis_name, None),
+        check_vma=False,
+    )(packed, seed.reshape(1))
+
+    rgb = out.reshape(3, n_dev * rows_block * 128)[:, :n].T / divisor
     img = jnp.concatenate([rgb, jnp.ones((n, 1), jnp.float32)], axis=1)
     return img.reshape(height, width, 4)
 

@@ -109,6 +109,103 @@ def _render_pass_single(scene, key, width, height, spp, config):
     return render_pass(scene, key, width, height, spp, config)
 
 
+@partial(
+    jax.jit, static_argnames=("width", "height", "spp", "config", "mesh", "axis_name")
+)
+def render_pass_fast_sharded(
+    scene: Scene,
+    key: jax.Array,
+    width: int,
+    height: int,
+    spp: int,
+    config=None,
+    mesh: Mesh | None = None,
+    axis_name: str = DATA_AXIS,
+) -> jax.Array:
+    """One regenerating-wavefront pass with lane blocks sharded over ``mesh``.
+
+    The PCG4D streams are addressed by global lane id, so each device's
+    `lax.while_loop` runs exactly the paths its lanes would run unsharded —
+    the sharded image is bit-identical to `wavefront.render_pass_fast`. Each
+    device drains independently (no synchronization until the output gather),
+    the SPMD translation of the reference's free-running scanline threads
+    (cpu/Scheduler.cpp:32-42)."""
+    from jax import shard_map
+
+    from ..models.wavefront import render_lanes
+    from ..ops.rng import seed_from_key
+
+    if config is None:
+        config = RenderConfig()
+    prep = prepare_scene(scene)
+    grid = max(int(spp**0.5), 1)
+    eff = grid * grid
+    divisor = float(spp if config.kajo_spp_quirk else eff)
+    n = width * height
+    n_dev = mesh.shape[axis_name]
+    padded = _round_up(n, n_dev)
+    lane = jnp.arange(padded, dtype=jnp.uint32)
+    seed = jnp.asarray(seed_from_key(key), jnp.uint32).reshape(1)
+    prep_specs = jax.tree.map(lambda _: P(), prep)
+
+    def shard_fn(prep, lane_blk, seed):
+        rgb, _ = render_lanes(
+            prep, lane_blk, seed.reshape(()), width, height, eff, grid, config
+        )
+        return rgb
+
+    rgb = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(prep_specs, P(axis_name), P()),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )(prep, lane, seed)
+    rgb = rgb[:n] / divisor
+    img = jnp.concatenate([rgb, jnp.ones((n, 1), jnp.float32)], axis=1)
+    return img.reshape(height, width, 4)
+
+
+def select_engine_sharded(scene: Scene, requested: str = "auto") -> str:
+    """Engine choice for sharded rendering, mirroring the CLI's auto rule."""
+    from ..models.engine import select_engine
+
+    eng = select_engine(scene, requested)
+    return eng
+
+
+def render_pass_sharded_engine(
+    engine: str,
+    scene: Scene,
+    key: jax.Array,
+    width: int,
+    height: int,
+    spp: int,
+    config=None,
+    mesh: Mesh | None = None,
+) -> jax.Array:
+    """Sharded render with the CLI's engine lineup: ``mega`` (fused Pallas
+    kernel per device), ``fast`` (regenerating wavefront per device), or
+    ``parity`` (the fixed-shape scan, the differentiable path)."""
+    if config is None:
+        config = RenderConfig()
+    if mesh is None:
+        from ..models.engine import render_pass_engine
+
+        return render_pass_engine(engine, scene, key, width, height, spp, config)
+    if engine == "mega":
+        from ..ops.pallas.megakernel import render_pass_megakernel_sharded
+
+        return render_pass_megakernel_sharded(
+            scene, key, width, height, spp, config, mesh, DATA_AXIS
+        )
+    if engine == "fast":
+        return render_pass_fast_sharded(
+            scene, key, width, height, spp, config, mesh, DATA_AXIS
+        )
+    return render_pass_sharded(scene, key, width, height, spp, config, mesh)
+
+
 def render_image_sharded(
     scene: Scene,
     width: int,
