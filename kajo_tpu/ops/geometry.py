@@ -101,6 +101,12 @@ class PreparedScene:
     materials: Materials      # K = P + S
     background: jax.Array     # [4]
     camera: CameraBasis
+    # big-scene streaming-trace cache (ops/pallas/stream_trace.py): Morton-
+    # sorted packed spheres + per-block AABBs + the sort permutation; None
+    # when the scene is below STREAM_THRESHOLD or streaming is unavailable
+    stream_packed: jax.Array | None = None
+    stream_boxes: jax.Array | None = None
+    stream_perm: jax.Array | None = None
 
 
 @_pytree_dataclass
@@ -162,7 +168,7 @@ def prepare_scene(scene: Scene) -> PreparedScene:
 
     materials = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), scene.materials)
 
-    return PreparedScene(
+    prep = PreparedScene(
         plane_nrow=plane_inv[:, 1, :],
         plane_det=jnp.linalg.det(pt) if pt.shape[0] else jnp.zeros((0,), jnp.float32),
         plane_normal=-pt[:, :3, 1],
@@ -186,6 +192,16 @@ def prepare_scene(scene: Scene) -> PreparedScene:
         background=jnp.asarray(scene.background, jnp.float32),
         camera=camera_basis(scene.camera),
     )
+    if radius.shape[0] > STREAM_THRESHOLD and _stream_enabled():
+        # precompute the Morton packing once per prepare (the trace inside
+        # the wavefront loop must not re-sort 100k spheres every iteration)
+        from .pallas.stream_trace import build_stream_scene
+
+        packed, boxes, perm = build_stream_scene(prep)
+        prep = dataclasses.replace(
+            prep, stream_packed=packed, stream_boxes=boxes, stream_perm=perm
+        )
+    return prep
 
 
 def _intersect_planes(prep: PreparedScene, o, d):
@@ -250,6 +266,19 @@ def _intersect_spheres_rigid(prep: PreparedScene, o, d):
 # running nearest-hit instead. 100k spheres x 256k rays stays ~N*CHUNK.
 BIG_SCENE_THRESHOLD = 8192
 BIG_SCENE_CHUNK = 2048
+# On TPU, scenes above this sphere count use the Pallas streaming trace
+# (ops/pallas/stream_trace.py): rays resident in VMEM, sphere blocks streamed
+# HBM->SMEM with double-buffered DMA, both rigid and general transforms.
+STREAM_THRESHOLD = 1024
+# tests force the streaming path on the CPU interpreter: None = auto
+# (TPU backend only), True/False = override
+FORCE_STREAM: bool | None = None
+
+
+def _stream_enabled() -> bool:
+    if FORCE_STREAM is not None:
+        return FORCE_STREAM
+    return jax.default_backend() == "tpu"
 
 
 def _intersect_spheres_rigid_chunked(prep: PreparedScene, o, d):
@@ -308,6 +337,62 @@ def _intersect_spheres_rigid_chunked(prep: PreparedScene, o, d):
     return t_best, idx_best
 
 
+def _intersect_spheres_general_chunked(prep: PreparedScene, o, d):
+    """Running nearest-hit over sphere blocks for NON-rigid big scenes: the
+    object-space quadratic with determinant-scaled t (Raytracer.cpp:21-51,70),
+    streamed in blocks so peak memory stays O(N*C). XLA fallback for backends
+    without the Pallas streaming kernel."""
+    n = o.shape[0]
+    s = prep.sphere_inv3.shape[0]
+    c = min(BIG_SCENE_CHUNK, s, max(256, (1 << 25) // max(n, 1)))
+    n_chunks = -(-s // c)
+    pad = n_chunks * c - s
+    inv3 = jnp.concatenate(
+        [prep.sphere_inv3, jnp.zeros((pad, 3, 3), jnp.float32)]
+    ).reshape(n_chunks, c, 3, 3)
+    invt = jnp.concatenate(
+        [prep.sphere_invt, jnp.zeros((pad, 3), jnp.float32)]
+    ).reshape(n_chunks, c, 3)
+    radius2 = jnp.concatenate(
+        [prep.sphere_radius2, jnp.full((pad,), -1.0, jnp.float32)]
+    ).reshape(n_chunks, c)
+    det = jnp.concatenate(
+        [prep.sphere_det, jnp.zeros((pad,), jnp.float32)]
+    ).reshape(n_chunks, c)
+
+    def block(carry, inputs):
+        t_best, idx_best, base = carry
+        b_inv3, b_invt, b_r2, b_det = inputs
+        o_loc = jnp.einsum("cij,nj->nci", b_inv3, o, precision=HI) + b_invt[None]
+        d_loc = jnp.einsum("cij,nj->nci", b_inv3, d, precision=HI)
+        a = jnp.sum(d_loc * d_loc, -1)
+        b = 2.0 * jnp.sum(d_loc * o_loc, -1)
+        cq = jnp.sum(o_loc * o_loc, -1) - b_r2[None]
+        discr = b * b - 4.0 * a * cq
+        sq = safe_sqrt(discr)
+        q = jnp.where(b < 0, (-b - sq) * 0.5, (-b + sq) * 0.5)
+        t0 = q / jnp.where(a == 0, 1.0, a)
+        t1 = cq / jnp.where(q == 0, 1.0, q)
+        lo = jnp.minimum(t0, t1)
+        hi = jnp.maximum(t0, t1)
+        t_loc = jnp.where(lo < 0, hi, lo)
+        t = t_loc * b_det[None]
+        valid = (discr >= 0) & (hi >= 0) & (a != 0) & (q != 0) & (t >= 0)
+        t = jnp.where(valid, t, INF)
+        t_min = jnp.min(t, axis=1)
+        a_min = jnp.argmin(t, axis=1).astype(jnp.int32)
+        better = t_min < t_best
+        return (
+            jnp.where(better, t_min, t_best),
+            jnp.where(better, base + a_min, idx_best),
+            base + c,
+        ), None
+
+    init = (jnp.full((n,), INF), jnp.full((n,), -1, jnp.int32), jnp.int32(0))
+    (t_best, idx_best, _), _ = jax.lax.scan(block, init, (inv3, invt, radius2, det))
+    return t_best, idx_best
+
+
 def _sphere_tangent(n):
     """Smallest-component permutation tangent (Raytracer.cpp:55-64).
 
@@ -351,10 +436,19 @@ def trace(prep: PreparedScene, o: jax.Array, d: jax.Array) -> SurfaceHit:
             view=d,
         )
 
-    chunked = prep.rigid and num_s > BIG_SCENE_THRESHOLD
+    use_stream = num_s > STREAM_THRESHOLD and _stream_enabled()
+    chunked = use_stream or num_s > BIG_SCENE_THRESHOLD
     if chunked:
-        # big-scene path: planes dense (P is small), spheres streamed in blocks
-        t_sph, sidx_best = _intersect_spheres_rigid_chunked(prep, o, d)
+        # big-scene path: planes dense (P is small), spheres streamed in
+        # blocks — Pallas kernel on TPU, XLA scan elsewhere
+        if use_stream:
+            from .pallas.stream_trace import nearest_sphere
+
+            t_sph, sidx_best = nearest_sphere(prep, o, d)
+        elif prep.rigid:
+            t_sph, sidx_best = _intersect_spheres_rigid_chunked(prep, o, d)
+        else:
+            t_sph, sidx_best = _intersect_spheres_general_chunked(prep, o, d)
         if num_p:
             tp, _ = _intersect_planes(prep, o, d)
             pidx = jnp.argmin(tp, axis=1).astype(jnp.int32)
@@ -399,9 +493,19 @@ def trace(prep: PreparedScene, o: jax.Array, d: jax.Array) -> SurfaceHit:
         n_sph = safe_normalize(hit_pos - prep.sphere_center[sidx])
         t_sph = _sphere_tangent(n_sph)
     elif num_s:
-        os_hit = jnp.take_along_axis(o_loc, sidx[:, None, None], axis=1)[:, 0]
-        ds_hit = jnp.take_along_axis(d_loc, sidx[:, None, None], axis=1)[:, 0]
-        n_loc = os_hit + ds_hit * t_loc[:, None]
+        if chunked:
+            # no per-candidate arrays on the streamed path: recompute the
+            # winner's object-space hit from its gathered transform
+            inv3_w = prep.sphere_inv3[sidx]
+            os_hit = jnp.einsum("nij,nj->ni", inv3_w, o, precision=HI) + prep.sphere_invt[sidx]
+            ds_hit = jnp.einsum("nij,nj->ni", inv3_w, d, precision=HI)
+            det_w = prep.sphere_det[sidx]
+            tl = jnp.where(hit, t, 0.0) / jnp.where(det_w == 0, 1.0, det_w)
+        else:
+            os_hit = jnp.take_along_axis(o_loc, sidx[:, None, None], axis=1)[:, 0]
+            ds_hit = jnp.take_along_axis(d_loc, sidx[:, None, None], axis=1)[:, 0]
+            tl = t_loc
+        n_loc = os_hit + ds_hit * tl[:, None]
         n_sph = safe_normalize(jnp.einsum("nij,nj->ni", prep.sphere_fwd3[sidx], n_loc, precision=HI))
         t_sph = _sphere_tangent(n_sph)
     else:

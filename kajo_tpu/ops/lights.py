@@ -17,10 +17,19 @@ from .sampling import PI, safe_normalize, safe_sqrt
 
 def solid_angle(center, radius, position):
     """Ω subtended by the sphere from ``position`` (Light.cpp:26-32);
-    full 4π when inside. cos(asin(x)) is computed as sqrt(1-x²)."""
-    dist = jnp.linalg.norm(center - position, axis=-1)
-    x = jnp.clip(radius / jnp.maximum(dist, 1e-30), 0.0, 1.0)
-    omega = 2.0 * PI * (1.0 - safe_sqrt(1.0 - x * x))
+    full 4π when inside. cos(asin(x)) is computed as sqrt(1-x²).
+
+    Gradient safety (jnp.where does not stop inf/NaN * 0 in reverse mode):
+    the sqrt argument is kept strictly positive (its derivative is infinite
+    when the shading point sits exactly on the light's surface), and the
+    distance is sqrt(max(d², ε)) rather than linalg.norm, whose derivative
+    is 0/0 when the shading point coincides with the light center (e.g. the
+    zero-initialized prev_pos of idle wavefront lanes). Masked-out lanes
+    would otherwise poison every gradient they touch."""
+    d2 = jnp.sum((center - position) ** 2, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
+    x = jnp.clip(radius / dist, 0.0, 1.0)
+    omega = 2.0 * PI * (1.0 - jnp.sqrt(jnp.maximum(1.0 - x * x, 1e-12)))
     return jnp.where(dist < radius, 4.0 * PI, omega)
 
 

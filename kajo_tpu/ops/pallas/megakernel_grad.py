@@ -45,8 +45,10 @@ from ...scene.types import Scene
 from .megakernel import (  # noqa: F401 (UNROLL re-exported for the gate below)
     BIG,
     FLT_EPSILON,
+    MAX_KERNEL_OBJECTS,
     PI,
     TILE_ROWS,
+    UNROLL_OBJECTS,
     _LI,
     _MA,
     _PL,
@@ -68,9 +70,13 @@ from .megakernel import (  # noqa: F401 (UNROLL re-exported for the gate below)
 )
 
 
-# the grad kernel keeps fully unrolled object loops (its body is already ~3x
-# the forward's); compile time limits it to small scenes
-MAX_GRAD_OBJECTS = 24
+# Below this object count, gradients accumulate into fully-unrolled per-(row,
+# col) loop-carried planes (fastest; compile time grows with K). Above it the
+# kernel switches to fori object loops + a VMEM [K, 128] accumulation table
+# written with dynamic-row stores — graph size O(1) in K, so the cap matches
+# the forward kernel's.
+GRAD_UNROLL_OBJECTS = 24
+MAX_GRAD_OBJECTS = MAX_KERNEL_OBJECTS
 
 
 def supports(scene: Scene) -> bool:
@@ -82,6 +88,7 @@ def supports(scene: Scene) -> bool:
 def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L):
     K = P + S
     Krows = K + 1  # last row: background
+    big = K > GRAD_UNROLL_OBJECTS  # VMEM-table accumulation + fori loops
     max_depth = config.max_depth
     eps = np.float32(config.surface_epsilon)
     emit_after_scatter = bool((not config.direct_lighting) or config.full_mis)
@@ -98,7 +105,9 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
     fw = np.float32(width)
     fh = np.float32(height)
 
-    def kernel(seed_ref, scn_ref, g_ref, out_ref):
+    def kernel(seed_ref, scn_ref, g_ref, out_ref, *scratch):
+        acc_ref = scratch[0] if big else None
+
         def s_(i):
             return scn_ref[0, i]
 
@@ -168,8 +177,36 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
                 n_best = vwhere(valid, vfull((r[5], r[6], r[7]), zf), n_best)
             d_dot_o = vdot(d, o)
             o2 = vdot(o, o)
-            for i in range(S):
-                cx, cy, cz, r2 = sphere_rec(i)
+            if S <= UNROLL_OBJECTS:
+                for i in range(S):
+                    cx, cy, cz, r2 = sphere_rec(i)
+                    d_dot_c = d[0] * cx + d[1] * cy + d[2] * cz
+                    o_dot_c = o[0] * cx + o[1] * cy + o[2] * cz
+                    b = 2.0 * (d_dot_o - d_dot_c)
+                    cq = o2 - 2.0 * o_dot_c + (cx * cx + cy * cy + cz * cz - r2)
+                    discr = b * b - 4.0 * cq
+                    sq = safe_sqrt(discr)
+                    q = jnp.where(b < 0, (-b - sq) * 0.5, (-b + sq) * 0.5)
+                    t1 = cq / jnp.where(q == 0, 1.0, q)
+                    lo = jnp.minimum(q, t1)
+                    hi = jnp.maximum(q, t1)
+                    t = jnp.where(lo < 0, hi, lo)
+                    valid = (discr >= 0) & (hi >= 0) & (q != 0) & (t >= 0) & (t < t_best)
+                    t_best = jnp.where(valid, t, t_best)
+                    obj_best = jnp.where(valid, P + i, obj_best)
+                    n_new = vnormalize(vsub(vadd(o, vscale(d, t)), vfull((cx, cy, cz), zf)))
+                    n_best = vwhere(valid, n_new, n_best)
+                return t_best, obj_best, n_best
+
+            def sphere_step(i, carry):
+                # dynamic SMEM reads keep graph size O(1) in the object count
+                # (same pattern as the forward kernel, megakernel.py)
+                t_best, obj_best, n0, n1, n2 = carry
+                base = off_spheres + i * _SP
+                cx = scn_ref[0, base]
+                cy = scn_ref[0, base + 1]
+                cz = scn_ref[0, base + 2]
+                r2 = scn_ref[0, base + 3]
                 d_dot_c = d[0] * cx + d[1] * cy + d[2] * cz
                 o_dot_c = o[0] * cx + o[1] * cy + o[2] * cz
                 b = 2.0 * (d_dot_o - d_dot_c)
@@ -182,11 +219,19 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
                 hi = jnp.maximum(q, t1)
                 t = jnp.where(lo < 0, hi, lo)
                 valid = (discr >= 0) & (hi >= 0) & (q != 0) & (t >= 0) & (t < t_best)
-                t_best = jnp.where(valid, t, t_best)
-                obj_best = jnp.where(valid, P + i, obj_best)
                 n_new = vnormalize(vsub(vadd(o, vscale(d, t)), vfull((cx, cy, cz), zf)))
-                n_best = vwhere(valid, n_new, n_best)
-            return t_best, obj_best, n_best
+                return (
+                    jnp.where(valid, t, t_best),
+                    jnp.where(valid, P + i, obj_best),
+                    jnp.where(valid, n_new[0], n0),
+                    jnp.where(valid, n_new[1], n1),
+                    jnp.where(valid, n_new[2], n2),
+                )
+
+            t_best, obj_best, n0, n1, n2 = jax.lax.fori_loop(
+                0, S, sphere_step, (t_best, obj_best, n_best[0], n_best[1], n_best[2])
+            )
+            return t_best, obj_best, (n0, n1, n2)
 
         def tangent_frame(n):
             smallest = jnp.minimum(n[2], jnp.minimum(n[0], n[1]))
@@ -199,13 +244,21 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
             return t, vcross(n, t)
 
         def gather_mat(obj):
-            fields = [zf] * _MA
-            for k in range(K):
-                rec = mat_rec(k)
+            if K <= UNROLL_OBJECTS + 8:
+                fields = [zf] * _MA
+                for k in range(K):
+                    rec = mat_rec(k)
+                    m = (obj == k).astype(jnp.float32)
+                    for f in range(_MA):
+                        fields[f] = fields[f] + m * rec[f]
+                return fields
+
+            def mat_step(k, fields):
+                base = off_mats + k * _MA
                 m = (obj == k).astype(jnp.float32)
-                for f in range(_MA):
-                    fields[f] = fields[f] + m * rec[f]
-            return fields
+                return tuple(fields[f] + m * scn_ref[0, base + f] for f in range(_MA))
+
+            return list(jax.lax.fori_loop(0, K, mat_step, tuple([zf] * _MA)))
 
         def solid_angle(dist, rad):
             x = jnp.clip(rad / jnp.maximum(dist, 1e-30), 0.0, 1.0)
@@ -223,13 +276,24 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
                 pdf = pdf + jnp.where(ok, 1.0 / solid_angle(dist, r[3]), 0.0)
             return pdf
 
-        # Mosaic has no scatter-add. Gradients accumulate into carried
-        # per-(row, col) [TILE_ROWS, 128] *planes* — only vector FMAs per
-        # iteration; each plane is reduced to its table scalar once, after
-        # the loop. Plane keys: (k, c) for object rows 0..K-1 and cols 0..8
-        # (diffuse3, specular3, emission3) plus (K, 0..2) for the background.
-        PLANE_KEYS = [(k, c) for k in range(K) for c in range(9)] + [(K, c) for c in range(3)]
-        PK_INDEX = {kc: i for i, kc in enumerate(PLANE_KEYS)}
+        # Mosaic has no scatter-add. Two accumulation designs:
+        #
+        # small K — gradients accumulate into carried per-(row, col)
+        # [TILE_ROWS, 128] *planes* (only vector FMAs per iteration; each
+        # plane reduced to its table scalar once, after the loop). Plane
+        # keys: (k, c) for object rows 0..K-1 and cols 0..8 (diffuse3,
+        # specular3, emission3) plus (K, 0..2) for the background.
+        #
+        # big K — per-iteration contributions are collected into 9+6 local
+        # planes keyed by (hit object, previous object), then flushed by a
+        # fori loop over K into a VMEM [K, 128] table via dynamic-row
+        # stores (masked reduction per row, predicated on any-lane-match so
+        # untouched rows cost one reduction). Graph size stays O(1) in K.
+        if not big:
+            PLANE_KEYS = [(k, c) for k in range(K) for c in range(9)] + [
+                (K, c) for c in range(3)
+            ]
+            PK_INDEX = {kc: i for i, kc in enumerate(PLANE_KEYS)}
 
         def scatter_mask(acc, mask, row_k, cols3, vals3):
             """acc plane (row_k, c) += where(mask, v) (static row)."""
@@ -246,6 +310,34 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
                     i = PK_INDEX[(k, c)]
                     acc[i] = acc[i] + jnp.where(mk, v, 0.0)
             return acc
+
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def acc_row_add(row, cols, scalars):
+            """acc_ref[row, c] += scalar for (c, scalar) pairs; row is traced."""
+            delta = jnp.zeros((1, 128), jnp.float32)
+            for c, sc in zip(cols, scalars):
+                delta = delta + sc * (col_iota == c).astype(jnp.float32)
+            acc_ref[pl.ds(row, 1), :] = acc_ref[pl.ds(row, 1), :] + delta
+
+        def flush_keyed(key_plane, contribs, cols):
+            """Table rows += masked sums of contribution planes, keyed per
+            lane by ``key_plane`` (-1 = no contribution)."""
+
+            def kstep(k, carry):
+                mk = key_plane == k
+
+                @pl.when(jnp.any(mk))
+                def _():
+                    acc_row_add(
+                        k,
+                        cols,
+                        [jnp.sum(jnp.where(mk, plane, 0.0)) for plane in contribs],
+                    )
+
+                return carry
+
+            jax.lax.fori_loop(0, K, kstep, 0)
 
         def init_state():
             sample = jnp.where(in_image, 0, eff)
@@ -267,7 +359,9 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
                 one, one, one,                   # pend_mat (color in deferred F)
                 zi - 1,                          # pend_mobj
                 zi - 1,                          # pend_mtab (0=diffuse,1=specular,-1 none)
-                tuple(zf for _ in PLANE_KEYS),   # gradient accumulation planes
+                # gradient accumulation planes: per-(row,col) for small K,
+                # background-only for big K (rest lives in the VMEM table)
+                (zf, zf, zf) if big else tuple(zf for _ in PLANE_KEYS),
             )
 
         def cond(st):
@@ -279,6 +373,9 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
              pdelta_f, prev_obj, qx, qy, qz, pmr, pmg, pmb, pmobj, pmtab,
              gplanes) = st
             acc = list(gplanes)
+            if big:
+                c_obj = [zf] * 9  # contributions keyed by this vertex's object
+                c_pm = [zf] * 6   # keyed by the previous vertex's object
             o = (ox, oy, oz)
             d = (dx, dy, dz)
             t3 = (tr, tg, tb)
@@ -312,8 +409,15 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
                 jnp.where(p_ != 0, gc * rc / jnp.where(p_ == 0, 1.0, p_), 0.0)
                 for p_, gc, rc in zip(pm, g3, rrem)
             )
-            acc = scatter_obj(acc, fmask & (pmtab == 0), pmobj, (0, 1, 2), coeff)
-            acc = scatter_obj(acc, fmask & (pmtab == 1), pmobj, (3, 4, 5), coeff)
+            if big:
+                for c in range(3):
+                    c_pm[c] = c_pm[c] + jnp.where(fmask & (pmtab == 0), coeff[c], 0.0)
+                    c_pm[3 + c] = c_pm[3 + c] + jnp.where(
+                        fmask & (pmtab == 1), coeff[c], 0.0
+                    )
+            else:
+                acc = scatter_obj(acc, fmask & (pmtab == 0), pmobj, (0, 1, 2), coeff)
+                acc = scatter_obj(acc, fmask & (pmtab == 1), pmobj, (3, 4, 5), coeff)
 
             t3 = vwhere(apply_w, vmul(t3, vscale((pfr, pfg, pfb), w)), t3)
 
@@ -321,9 +425,13 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
             miss = active & ~was_hit
             cbg = vmul(t3, vfull(bg, zf))
             lcur = vwhere(miss & ~in_phase1, vadd(lcur, cbg), lcur)
-            acc = scatter_mask(
-                acc, miss & grading, K, (0, 1, 2), tuple(gc * tc for gc, tc in zip(g3, t3))
-            )
+            if big:
+                for c in range(3):
+                    acc[c] = acc[c] + jnp.where(miss & grading, g3[c] * t3[c], 0.0)
+            else:
+                acc = scatter_mask(
+                    acc, miss & grading, K, (0, 1, 2), tuple(gc * tc for gc, tc in zip(g3, t3))
+                )
             rrem = vwhere(miss & grading, vsub(rrem, cbg), rrem)
             on_path = active & was_hit
 
@@ -418,15 +526,30 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
                     # ∂/∂Le (emission of the light's material)
                     row = obj_id  # per-light object id (dynamic but uniform row)
                     vals_le = tuple(b * f for b, f in zip(base, fcos_l))
-                    for k in range(K):
-                        mk = gm & (row == k)
-                        for cidx, v in zip((6, 7, 8), vals_le):
-                            i = PK_INDEX[(k, cidx)]
-                            acc[i] = acc[i] + jnp.where(mk, v, 0.0)
-                    # ∂/∂diffuse or ∂/∂specular at the hit object
                     vals_mat = tuple(b * s_sel * l_ for b, l_ in zip(base, le))
-                    acc = scatter_obj(acc, gm & m_lam, obj, (0, 1, 2), vals_mat)
-                    acc = scatter_obj(acc, gm & m_ph, obj, (3, 4, 5), vals_mat)
+                    if big:
+                        @pl.when(jnp.any(gm))
+                        def _(vals_le=vals_le, gm=gm, row=row):
+                            acc_row_add(
+                                row,
+                                (6, 7, 8),
+                                [jnp.sum(jnp.where(gm, v, 0.0)) for v in vals_le],
+                            )
+
+                        for c in range(3):
+                            c_obj[c] = c_obj[c] + jnp.where(gm & m_lam, vals_mat[c], 0.0)
+                            c_obj[3 + c] = c_obj[3 + c] + jnp.where(
+                                gm & m_ph, vals_mat[c], 0.0
+                            )
+                    else:
+                        for k in range(K):
+                            mk = gm & (row == k)
+                            for cidx, v in zip((6, 7, 8), vals_le):
+                                i = PK_INDEX[(k, cidx)]
+                                acc[i] = acc[i] + jnp.where(mk, v, 0.0)
+                        # ∂/∂diffuse or ∂/∂specular at the hit object
+                        acc = scatter_obj(acc, gm & m_lam, obj, (0, 1, 2), vals_mat)
+                        acc = scatter_obj(acc, gm & m_ph, obj, (3, 4, 5), vals_mat)
                 cne = vmul(t3, nee)
                 lcur = vwhere(scatter & ~in_phase1, vadd(lcur, cne), lcur)
                 rrem = vwhere(scatter & grading, vsub(rrem, cne), rrem)
@@ -489,21 +612,36 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
                 jnp.where(mc != 0, gc * rc / jnp.where(mc == 0, 1.0, mc), 0.0)
                 for mc, gc, rc in zip(ms, g3, rrem)
             )
-            acc = scatter_obj(acc, tmask, obj, (3, 4, 5), coeff_t)
+            if big:
+                for c in range(3):
+                    c_obj[3 + c] = c_obj[3 + c] + jnp.where(tmask, coeff_t[c], 0.0)
+            else:
+                acc = scatter_obj(acc, tmask, obj, (3, 4, 5), coeff_t)
             t3 = vwhere(m_trans, vmul(t3, fcos), t3)
 
             # emission at this vertex
             t_em = vwhere(survive, t3, tk)
             cem = vmul(t_em, me)
             lcur = vwhere(emitter & ~in_phase1, vadd(lcur, cem), lcur)
-            acc = scatter_obj(
-                acc,
-                emitter & grading,
-                obj,
-                (6, 7, 8),
-                tuple(gc * tc for gc, tc in zip(g3, t_em)),
-            )
+            if big:
+                for c in range(3):
+                    c_obj[6 + c] = c_obj[6 + c] + jnp.where(
+                        emitter & grading, g3[c] * t_em[c], 0.0
+                    )
+            else:
+                acc = scatter_obj(
+                    acc,
+                    emitter & grading,
+                    obj,
+                    (6, 7, 8),
+                    tuple(gc * tc for gc, tc in zip(g3, t_em)),
+                )
             rrem = vwhere(emitter & grading, vsub(rrem, cem), rrem)
+
+            if big:
+                # flush this iteration's keyed contributions into the table
+                flush_keyed(obj, c_obj, (0, 1, 2, 3, 4, 5, 6, 7, 8))
+                flush_keyed(pmobj, c_pm, (0, 1, 2, 3, 4, 5))
 
             continuing = survive & (m_trans | (pdf_b != 0))
             path_end = active & ~continuing
@@ -554,15 +692,23 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
                 tuple(acc),
             )
 
+        if big:
+            acc_ref[...] = jnp.zeros_like(acc_ref)
         final = jax.lax.while_loop(cond, body, init_state())
         planes = final[-1]
-        gtab = jnp.zeros((Krows, 16), jnp.float32)
-        _b_rows = jax.lax.broadcasted_iota(jnp.int32, (Krows, 16), 0)
-        _b_cols = jax.lax.broadcasted_iota(jnp.int32, (Krows, 16), 1)
-        for (k, c), plane in zip(PLANE_KEYS, planes):
-            basis = ((_b_rows == k) & (_b_cols == c)).astype(jnp.float32)
-            gtab = gtab + jnp.sum(plane) * basis
-        out_ref[0] = gtab
+        if big:
+            # planes here are the 3 background accumulators; everything else
+            # already lives in the acc table
+            acc_row_add(K, (0, 1, 2), [jnp.sum(p) for p in planes])
+            out_ref[0] = acc_ref[0:Krows, :]
+        else:
+            gtab = jnp.zeros((Krows, 16), jnp.float32)
+            _b_rows = jax.lax.broadcasted_iota(jnp.int32, (Krows, 16), 0)
+            _b_cols = jax.lax.broadcasted_iota(jnp.int32, (Krows, 16), 1)
+            for (k, c), plane in zip(PLANE_KEYS, planes):
+                basis = ((_b_rows == k) & (_b_cols == c)).astype(jnp.float32)
+                gtab = gtab + jnp.sum(plane) * basis
+            out_ref[0] = gtab
 
     return kernel
 
@@ -602,19 +748,23 @@ def material_grads(
     g_lanes = jnp.zeros((3, rows_pad * 128), jnp.float32)
     g_lanes = g_lanes.at[:, :n].set(g.T).reshape(3, rows_pad, 128)
 
+    big = K > GRAD_UNROLL_OBJECTS
+    cols = 128 if big else 16
+    krow_pad = -(-(K + 1) // 8) * 8
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, K + 1, 16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, K + 1, cols), jnp.float32),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((3, TILE_ROWS, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, K + 1, 16), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, K + 1, cols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((krow_pad, 128), jnp.float32)] if big else [],
     )(seed, packed, g_lanes)
 
-    table = jnp.sum(out, axis=0)
+    table = jnp.sum(out, axis=0)[:, :16]
     return {
         "diffuse": table[:K, 0:3],
         "specular": table[:K, 3:6],

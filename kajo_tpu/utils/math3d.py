@@ -120,6 +120,27 @@ def perspective(fovy_deg: float, aspect: float, z_near: float, z_far: float, xp=
     return xp.asarray(m)
 
 
+def project(p, view: Array, proj: Array, xp=np):
+    """Inverse of :func:`unproject`: world point -> ((x, y, depth) in [0,1]^3,
+    clip-space w). Batched over leading dims; differentiable under jnp.
+
+    ``clip_w > 0`` means the point is in front of the camera."""
+    p = xp.asarray(p, dtype=xp.float32)
+    if xp is np:
+        pv = (proj @ view).astype(np.float32)
+        h = p @ pv[:3, :3].T + pv[:3, 3]
+        w = p @ pv[3, :3] + pv[3, 3]
+    else:
+        import jax
+
+        hi = jax.lax.Precision.HIGHEST
+        pv = xp.matmul(xp.asarray(proj, xp.float32), xp.asarray(view, xp.float32), precision=hi)
+        h = xp.matmul(p, pv[:3, :3].T, precision=hi) + pv[:3, 3]
+        w = xp.matmul(p, pv[3, :3], precision=hi) + pv[3, 3]
+    ndc = h / w[..., None]
+    return (ndc + 1.0) * 0.5, w
+
+
 def unproject(win, view: Array, proj: Array, xp=np) -> Array:
     """GLM unProject with unit viewport (0,0,1,1).
 

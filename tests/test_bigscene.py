@@ -41,6 +41,146 @@ def test_chunked_trace_matches_dense():
     assert np.percentile(cos[hit], 0.5) > 0.9999
 
 
+def _force_stream(on):
+    geometry.FORCE_STREAM = on
+
+
+def test_stream_trace_matches_dense_rigid():
+    """Pallas streaming kernel (interpret mode) == dense path, exactly."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    scene = random_spheres_scene(700, seed=5, extent=20.0, n_lights=2)
+    prep = geometry.prepare_scene(scene)
+    xs, ys = jnp.meshgrid(jnp.linspace(0.02, 0.98, 40), jnp.linspace(0.02, 0.98, 30))
+    o, d = geometry.generate_rays(prep.camera, xs.ravel(), ys.ravel())
+
+    dense = geometry.trace(prep, o, d)
+    orig = geometry.STREAM_THRESHOLD
+    try:
+        geometry.STREAM_THRESHOLD = 64
+        _force_stream(True)
+        with pltpu.force_tpu_interpret_mode():
+            streamed = geometry.trace(prep, o, d)
+    finally:
+        geometry.STREAM_THRESHOLD = orig
+        _force_stream(None)
+    np.testing.assert_array_equal(np.asarray(dense.obj), np.asarray(streamed.obj))
+    # dense uses HIGHEST-precision matmuls, the kernel explicit FMA sums ->
+    # last-ulp rounding differences only (same class as the chunked path)
+    np.testing.assert_allclose(np.asarray(dense.t), np.asarray(streamed.t), rtol=1e-4)
+    cos = np.sum(np.asarray(dense.normal) * np.asarray(streamed.normal), -1)
+    hit = np.asarray(dense.obj) >= 0
+    assert np.percentile(cos[hit], 0.5) > 0.9999
+
+
+def test_stream_trace_matches_dense_nonrigid():
+    """The streaming kernel lifts the big-scene rigid-only restriction:
+    scaled/rotated sphere transforms go through the object-space layout."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from kajo_tpu.utils import math3d
+
+    scene = random_spheres_scene(300, seed=7, extent=15.0, n_lights=1)
+    # bend some transforms: non-uniform scale + rotation -> rigid=False
+    st = np.asarray(scene.sphere_transform).copy()
+    for i in range(0, len(st), 3):
+        m = math3d.rotate(math3d.identity(), 30.0 + i, [0, 1, 0])
+        m = m @ np.diag([1.4, 0.8, 1.0, 1.0]).astype(np.float32)
+        st[i] = st[i] @ m
+    scene = dataclasses.replace(scene, sphere_transform=st, rigid_spheres=False)
+    prep = geometry.prepare_scene(scene)
+    assert not prep.rigid
+
+    xs, ys = jnp.meshgrid(jnp.linspace(0.02, 0.98, 32), jnp.linspace(0.02, 0.98, 24))
+    o, d = geometry.generate_rays(prep.camera, xs.ravel(), ys.ravel())
+    dense = geometry.trace(prep, o, d)
+    orig = geometry.STREAM_THRESHOLD
+    try:
+        geometry.STREAM_THRESHOLD = 64
+        _force_stream(True)
+        with pltpu.force_tpu_interpret_mode():
+            streamed = geometry.trace(prep, o, d)
+    finally:
+        geometry.STREAM_THRESHOLD = orig
+        _force_stream(None)
+    np.testing.assert_array_equal(np.asarray(dense.obj), np.asarray(streamed.obj))
+    np.testing.assert_allclose(np.asarray(dense.t), np.asarray(streamed.t), rtol=1e-4)
+    cos = np.sum(np.asarray(dense.normal) * np.asarray(streamed.normal), -1)
+    hit = np.asarray(dense.obj) >= 0
+    assert np.percentile(cos[hit], 0.5) > 0.999
+
+
+def test_chunked_nonrigid_matches_dense():
+    """The XLA fallback for non-rigid big scenes (no Pallas backend)."""
+    scene = random_spheres_scene(300, seed=8, extent=15.0, n_lights=1)
+    st = np.asarray(scene.sphere_transform).copy()
+    st[::2, 0, 0] = 1.3  # non-uniform scale on half the spheres
+    scene = dataclasses.replace(scene, sphere_transform=st, rigid_spheres=False)
+    prep = geometry.prepare_scene(scene)
+
+    xs, ys = jnp.meshgrid(jnp.linspace(0.02, 0.98, 24), jnp.linspace(0.02, 0.98, 18))
+    o, d = geometry.generate_rays(prep.camera, xs.ravel(), ys.ravel())
+    dense = geometry.trace(prep, o, d)
+    orig = geometry.BIG_SCENE_THRESHOLD
+    try:
+        geometry.BIG_SCENE_THRESHOLD = 64
+        geometry.BIG_SCENE_CHUNK = 128
+        chunked = geometry.trace(prep, o, d)
+    finally:
+        geometry.BIG_SCENE_THRESHOLD = orig
+        geometry.BIG_SCENE_CHUNK = 2048
+    np.testing.assert_array_equal(np.asarray(dense.obj), np.asarray(chunked.obj))
+    np.testing.assert_allclose(np.asarray(dense.t), np.asarray(chunked.t), rtol=1e-4)
+
+
+def test_stream_trace_gradients_match_dense():
+    """custom_vjp of the streaming kernel == XLA autodiff of the dense path
+    (gradient of hit distances w.r.t. sphere centers and radii)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    scene = random_spheres_scene(200, seed=9, extent=12.0, n_lights=1)
+    scene = jax.tree.map(jnp.asarray, scene)
+    base_prep = geometry.prepare_scene(scene)
+    xs, ys = jnp.meshgrid(jnp.linspace(0.1, 0.9, 16), jnp.linspace(0.1, 0.9, 12))
+    o, d = geometry.generate_rays(base_prep.camera, xs.ravel(), ys.ravel())
+
+    def loss(st, radius, streamed):
+        s = dataclasses.replace(scene, sphere_transform=st, sphere_radius=radius)
+        prep = geometry.prepare_scene(s)
+        if streamed:
+            from kajo_tpu.ops.pallas.stream_trace import nearest_sphere
+
+            t, idx = nearest_sphere(prep, o, d)
+        else:
+            t_all = geometry._intersect_spheres_rigid(prep, o, d)
+            idx = jnp.argmin(t_all, axis=1).astype(jnp.int32)
+            t = jnp.take_along_axis(t_all, idx[:, None], axis=1)[:, 0]
+            idx = jnp.where(jnp.isfinite(t), idx, -1)
+        tt = jnp.where(idx >= 0, t, 0.0)
+        return jnp.sum(jnp.sin(tt))  # nonlinear to exercise the chain rule
+
+    st = jnp.asarray(scene.sphere_transform)
+    rad = jnp.asarray(scene.sphere_radius)
+    g_dense = jax.grad(loss, argnums=(0, 1))(st, rad, False)
+    orig = geometry.STREAM_THRESHOLD
+    try:
+        geometry.STREAM_THRESHOLD = 64
+        _force_stream(True)
+        with pltpu.force_tpu_interpret_mode():
+            g_stream = jax.grad(loss, argnums=(0, 1))(st, rad, True)
+    finally:
+        geometry.STREAM_THRESHOLD = orig
+        _force_stream(None)
+    # near-tangent hits have ill-conditioned dt/dc; identical formulas in a
+    # different accumulation order agree to ~0.3% there
+    np.testing.assert_allclose(
+        np.asarray(g_dense[0]), np.asarray(g_stream[0]), rtol=1e-2, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_dense[1]), np.asarray(g_stream[1]), rtol=1e-2, atol=1e-4
+    )
+
+
 def test_procedural_scene_renders():
     from kajo_tpu.models.integrator import RenderConfig, render_pass
 
