@@ -128,6 +128,88 @@ def main():
         dt_g = time.time() - t0
         grad_samples_per_s = (W // 2) * (H // 2) * 4 / dt_g
 
+    # GEOMETRY-grad rate (the honest second number: sphere position/radius
+    # gradients run on the differentiable jax budget engine, far below the
+    # materials-only fused kernel above)
+    geom_grad_samples_per_s = None
+    try:
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from kajo_tpu.models.wavefront import render_pass_budget
+
+        gw, gh, gspp = W // 4, H // 4, 4
+
+        def geo_loss(st):
+            s2 = dataclasses.replace(jax.tree.map(jnp.asarray, scene), sphere_transform=st)
+            im = render_pass_budget(s2, key, gw, gh, gspp, config)
+            return jnp.mean(im[..., :3])
+
+        ggf = jax.jit(jax.grad(geo_loss))
+        st0 = jnp.asarray(scene.sphere_transform)
+        jax.block_until_ready(ggf(st0))  # compile
+        t0 = time.time()
+        jax.block_until_ready(ggf(st0))
+        geom_grad_samples_per_s = round(gw * gh * gspp / (time.time() - t0))
+    except Exception:
+        pass
+
+    # rays/s from the live-lane counters (wavefront engine)
+    rays_per_s = None
+    try:
+        from kajo_tpu.models.wavefront import render_pass_fast_stats
+
+        img_s, iters, rays = render_pass_fast_stats(scene, key, W, H, SPP, config)
+        jax.block_until_ready(img_s)
+        t0 = time.time()
+        img_s, iters, rays = render_pass_fast_stats(
+            scene, jax.random.fold_in(key, 77), W, H, SPP, config
+        )
+        total_rays = float(rays)
+        dt_r = time.time() - t0
+        rays_per_s = round(total_rays / dt_r)
+    except Exception:
+        pass
+
+    # big-scene scaling row (BASELINE config 5): 100k spheres through the
+    # Pallas streaming trace with Morton block culling
+    bigscene_samples_per_s = None
+    bigscene_sphere_tests_per_s = None
+    try:
+        from kajo_tpu.models.wavefront import render_pass_fast as rpf
+        from kajo_tpu.scene.procedural import random_spheres_scene
+
+        big = random_spheres_scene(100_000, seed=0, extent=60.0)
+        bcfg = RenderConfig(max_depth=2)
+        bw, bh, bspp = 128, 96, 4
+        img_b = rpf(big, key, bw, bh, bspp, bcfg)
+        img_b.block_until_ready()
+        t0 = time.time()
+        for i in range(2):
+            img_b = rpf(big, jax.random.fold_in(key, i + 1), bw, bh, bspp, bcfg)
+        img_b.block_until_ready()
+        bigscene_samples_per_s = round(2 * bw * bh * bspp / (time.time() - t0))
+
+        # streaming-trace roofline: effective sphere-tests/s on primary rays
+        from kajo_tpu.ops.geometry import generate_rays, prepare_scene
+        from kajo_tpu.ops.pallas.stream_trace import nearest_sphere
+
+        prep_b = prepare_scene(big)
+        import jax.numpy as jnp
+
+        xs, ys = jnp.meshgrid(jnp.linspace(0.01, 0.99, bw), jnp.linspace(0.01, 0.99, bh))
+        ob, db = generate_rays(prep_b.camera, xs.ravel(), ys.ravel())
+        tf = jax.jit(lambda o, d: nearest_sphere(prep_b, o, d))
+        jax.block_until_ready(tf(ob, db))
+        t0 = time.time()
+        for i in range(5):
+            tb, ib = tf(ob, db)
+        jax.block_until_ready(tb)
+        bigscene_sphere_tests_per_s = round(5 * bw * bh * 100_000 / (time.time() - t0))
+    except Exception:
+        pass
+
     # config-3 extra: the caustics scene (delta BSDFs + refraction)
     caustics_rate = None
     try:
@@ -152,7 +234,11 @@ def main():
         "baseline_cpp_samples_per_s": round(baseline),
         "baseline_live": live,
         "grad_samples_per_s": round(grad_samples_per_s),
+        "geom_grad_samples_per_s": geom_grad_samples_per_s,
+        "rays_per_s": rays_per_s,
         "caustics_samples_per_s": caustics_rate,
+        "bigscene_100k_samples_per_s": bigscene_samples_per_s,
+        "bigscene_sphere_tests_per_s": bigscene_sphere_tests_per_s,
         "engine": engine,
         "device": str(jax.devices()[0]),
     }

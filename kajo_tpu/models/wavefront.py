@@ -57,7 +57,7 @@ def _camera_ray(prep, lane, sample, seed, width, height, grid):
     return generate_rays(prep.camera, sx, sy)
 
 
-def _nee3(prep, hit, mat, u_l, m_lambert, m_phong, eps):
+def _nee3(prep, hit, mat, u_l, m_lambert, m_phong, eps, trace_fn=trace):
     """NEE over emissive spheres, RGB only. u_l: [3, N, L]."""
     num_l = prep.light_obj.shape[0]
     n = hit.position.shape[0]
@@ -66,7 +66,7 @@ def _nee3(prep, hit, mat, u_l, m_lambert, m_phong, eps):
     radius = prep.light_radius[None, :]
     dir_l, pdf_l = lights.sample(u_l[0], u_l[1], u_l[2], center, radius, pos)
 
-    sh = trace(prep, (pos + dir_l * eps).reshape(n * num_l, 3), dir_l.reshape(n * num_l, 3))
+    sh = trace_fn(prep, (pos + dir_l * eps).reshape(n * num_l, 3), dir_l.reshape(n * num_l, 3))
     visible = sh.obj.reshape(n, num_l) == prep.light_obj[None, :]
     not_self = hit.obj[:, None] != prep.light_obj[None, :]
 
@@ -112,6 +112,7 @@ def _make_loop(
     eff_spp: int,
     grid: int,
     config: RenderConfig,
+    trace_fn=trace,
 ):
     """Build (init_state, cond, body) for the regenerating wavefront.
 
@@ -172,7 +173,7 @@ def _make_loop(
         # us[0]=rr, us[1]=transparency coin, us[2]=diffuse coin,
         # us[3], us[4]=bsdf sample, us[5:5+3L]=NEE
 
-        hit = trace(prep, state["o"], state["d"])
+        hit = trace_fn(prep, state["o"], state["d"])
         was_hit = hit.obj >= 0
         t = state["throughput"]
         r = state["r_cur"]
@@ -222,7 +223,7 @@ def _make_loop(
         # NEE
         if config.direct_lighting and num_lights:
             u_l = jnp.stack(us[5 : 5 + 3 * num_lights]).reshape(3, num_lights, n).transpose(0, 2, 1)
-            nee = _nee3(prep, hit, mat, u_l, m_lambert, m_phong, eps)
+            nee = _nee3(prep, hit, mat, u_l, m_lambert, m_phong, eps, trace_fn)
             r = r + jnp.where(scatter[:, None], t * nee, 0.0)
 
         # continuation
@@ -311,9 +312,9 @@ def _make_loop(
     return state, cond, body
 
 
-def render_lanes(prep, lane, seed, width, height, eff_spp, grid, config):
+def render_lanes(prep, lane, seed, width, height, eff_spp, grid, config, trace_fn=trace):
     """Exact engine: loop until every lane finishes all its samples."""
-    state, cond, body = _make_loop(prep, lane, seed, width, height, eff_spp, grid, config)
+    state, cond, body = _make_loop(prep, lane, seed, width, height, eff_spp, grid, config, trace_fn)
     state = jax.lax.while_loop(cond, body, state)
     return state["radiance"], state["iters"]
 

@@ -62,6 +62,42 @@ def test_sharded_mega_bit_matches_unsharded():
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+def test_objsharded_matches_unsharded():
+    """Scene sharded over the mesh (rays replicated, nearest hit reduced with
+    pmin/psum) == the single-device fast engine, per pixel."""
+    from kajo_tpu.models.wavefront import render_pass_fast
+    from kajo_tpu.parallel.objshard import render_pass_fast_objsharded
+    from kajo_tpu.scene.procedural import random_spheres_scene
+
+    scene = random_spheres_scene(66, seed=21, extent=12.0, n_lights=2)
+    key = jax.random.PRNGKey(11)
+    a = np.asarray(
+        render_pass_fast_objsharded(scene, key, 16, 12, 4, CFG, make_mesh())
+    )
+    b = np.asarray(render_pass_fast(scene, key, 16, 12, 4, CFG))
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_objsharded_nonrigid():
+    import dataclasses
+
+    from kajo_tpu.models.wavefront import render_pass_fast
+    from kajo_tpu.parallel.objshard import render_pass_fast_objsharded
+    from kajo_tpu.scene.procedural import random_spheres_scene
+
+    scene = random_spheres_scene(30, seed=22, extent=10.0, n_lights=1)
+    st = np.asarray(scene.sphere_transform).copy()
+    st[::3, 0, 0] = 1.2
+    scene = dataclasses.replace(scene, sphere_transform=st, rigid_spheres=False)
+    key = jax.random.PRNGKey(12)
+    a = np.asarray(
+        render_pass_fast_objsharded(scene, key, 12, 12, 4, CFG, make_mesh())
+    )
+    b = np.asarray(render_pass_fast(scene, key, 12, 12, 4, CFG))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_sharded_engine_dispatch():
     from kajo_tpu.parallel.render import render_pass_sharded_engine
 
