@@ -113,13 +113,39 @@ def reflect(v, n):
     return vsub(v, vscale(n, 2.0 * vdot(n, v)))
 
 
+@jax.custom_jvp
 def safe_sqrt(x):
     return jnp.sqrt(jnp.maximum(x, 0.0))
 
 
+@safe_sqrt.defjvp
+def _safe_sqrt_jvp(primals, tangents):
+    # sqrt's derivative diverges at 0; the default jvp produces 0*inf = NaN
+    # on the (masked) x <= 0 lanes of the forward-mode kernel. Clamp: exact
+    # for x > 1e-12, zero for x <= 0, bounded at the (grazing) boundary.
+    (x,), (xd,) = primals, tangents
+    y = safe_sqrt(x)
+    d = jnp.where(x > 0, 0.5 * jax.lax.rsqrt(jnp.maximum(x, 1e-12)), 0.0)
+    return y, d * xd
+
+
+@jax.custom_jvp
 def safe_pow(x, n):
     m = x > 0
     return jnp.where(m, jnp.exp(n * jnp.log(jnp.where(m, x, 1.0))), jnp.where(n == 0, 1.0, 0.0))
+
+
+@safe_pow.defjvp
+def _safe_pow_jvp(primals, tangents):
+    # d/dx = n x^(n-1), d/dn = x^n log x — written so that an underflowed
+    # primal (x^100 at small x) yields 0, not 0 * inf = NaN
+    (x, n), (xd, nd) = primals, tangents
+    y = safe_pow(x, n)
+    m = x > 0
+    xs = jnp.where(m, x, 1.0)
+    dx = jnp.where(m, n * safe_pow(x, n - 1.0), 0.0)
+    dn = jnp.where(m, y * jnp.log(xs), 0.0)
+    return y, dx * xd + dn * nd
 
 
 # ----------------------------------------------------------------- PCG4D
@@ -206,7 +232,13 @@ def _pack_scene(prep) -> jnp.ndarray:
     return jnp.concatenate(parts)[None, :]
 
 
-def _build_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L):
+def _build_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L, jvp=False):
+    if jvp:
+        # the forward-mode kernel reads the whole scene eagerly so jax.jvp can
+        # thread tangents; the dynamic-SMEM fori paths are primal-only
+        assert S <= UNROLL_OBJECTS and P + S <= UNROLL_OBJECTS + 8, (
+            "jvp kernel requires fully unrolled object loops"
+        )
     K = P + S
     max_depth = config.max_depth
     eps = np.float32(config.surface_epsilon)
@@ -224,22 +256,17 @@ def _build_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L):
     fw = np.float32(width)
     fh = np.float32(height)
 
-    def kernel(seed_ref, scn_ref, out_ref):
-        def s_(i):
-            return scn_ref[0, i]
-
+    def kernel(seed_ref, scn_ref, *refs):
+        if jvp:
+            tan_ref, out_ref, outdot_ref = refs
+        else:
+            (out_ref,) = refs
         seed = seed_ref[0, 0]
         # global lane offset of this kernel invocation: 0 unsharded, or the
         # device's block start under shard_map — lane ids (and therefore the
         # PCG4D streams and pixel assignment) are global either way, so a
         # sharded render is bit-identical to the unsharded one
         lane0 = seed_ref[0, 1].astype(jnp.int32)
-        origin0 = (s_(off_cam), s_(off_cam + 1), s_(off_cam + 2))
-        p1 = (s_(off_cam + 3), s_(off_cam + 4), s_(off_cam + 5))
-        du = (s_(off_cam + 6), s_(off_cam + 7), s_(off_cam + 8))
-        dv = (s_(off_cam + 9), s_(off_cam + 10), s_(off_cam + 11))
-        bg = (s_(off_bg), s_(off_bg + 1), s_(off_bg + 2))
-
         tile = pl.program_id(0)
         rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 1)
@@ -251,52 +278,92 @@ def _build_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L):
         zf = px * 0.0
         zi = lane_i * 0
 
-        def plane_rec(i):
-            b = off_planes + i * _PL
-            return [s_(b + j) for j in range(_PL)]
+        # the whole path-tracing loop as a pure function of the packed scene
+        # scalars: the primal kernel calls it directly on lazy SMEM reads;
+        # the forward-mode kernel differentiates it with jax.jvp (tangents
+        # of the full scene-parameter vector ride along every hit, pdf and
+        # MIS weight — geometry gradients at kernel speed)
+        def run(s_):
+            origin0 = (s_(off_cam), s_(off_cam + 1), s_(off_cam + 2))
+            p1 = (s_(off_cam + 3), s_(off_cam + 4), s_(off_cam + 5))
+            du = (s_(off_cam + 6), s_(off_cam + 7), s_(off_cam + 8))
+            dv = (s_(off_cam + 9), s_(off_cam + 10), s_(off_cam + 11))
+            bg = (s_(off_bg), s_(off_bg + 1), s_(off_bg + 2))
 
-        def sphere_rec(i):
-            b = off_spheres + i * _SP
-            return [s_(b + j) for j in range(_SP)]
+            def plane_rec(i):
+                b = off_planes + i * _PL
+                return [s_(b + j) for j in range(_PL)]
 
-        def mat_rec(i):
-            b = off_mats + i * _MA
-            return [s_(b + j) for j in range(_MA)]
+            def sphere_rec(i):
+                b = off_spheres + i * _SP
+                return [s_(b + j) for j in range(_SP)]
 
-        def light_rec(i):
-            b = off_lights + i * _LI
-            return [s_(b + j) for j in range(_LI)]
+            def mat_rec(i):
+                b = off_mats + i * _MA
+                return [s_(b + j) for j in range(_MA)]
 
-        def camera_ray(sample):
-            su = sample.astype(jnp.uint32)
-            gx = (sample % grid_n).astype(jnp.float32)
-            gy = (sample // grid_n).astype(jnp.float32)
-            u1, u2, _, _ = _uniforms4(lane, su, CAM_SALT, seed)
-            sx = (px + (gx + u1) / fgrid) / fw
-            sy = ((fh - py) + (gy + u2) / fgrid) / fh
-            d = vnormalize(vsub(vadd(vfull(p1, zf), vadd(vscale(vfull(du, zf), sx), vscale(vfull(dv, zf), sy))), vfull(origin0, zf)))
-            return vfull(origin0, zf), d
+            def light_rec(i):
+                b = off_lights + i * _LI
+                return [s_(b + j) for j in range(_LI)]
 
-        def trace(o, d):
-            """Nearest hit via unrolled object scan -> (t, obj, normal)."""
-            t_best = zf + BIG
-            obj_best = zi - 1
-            n_best = (zf, zf, zf)
-            for i in range(P):
-                r = plane_rec(i)
-                denom = d[0] * r[0] + d[1] * r[1] + d[2] * r[2]
-                onum = o[0] * r[0] + o[1] * r[1] + o[2] * r[2] + r[3]
-                t_loc = -onum / jnp.where(denom == 0, 1.0, denom)
-                t = t_loc * r[4]
-                valid = (jnp.abs(denom) >= FLT_EPSILON) & (t_loc >= 0) & (t >= 0) & (t < t_best)
-                t_best = jnp.where(valid, t, t_best)
-                obj_best = jnp.where(valid, i, obj_best)
-                n_best = vwhere(valid, vfull((r[5], r[6], r[7]), zf), n_best)
-            d_dot_o = vdot(d, o)
-            o2 = vdot(o, o)
-            if S <= UNROLL_OBJECTS:
-                for i in range(S):
-                    cx, cy, cz, r2 = sphere_rec(i)
+            def camera_ray(sample):
+                su = sample.astype(jnp.uint32)
+                gx = (sample % grid_n).astype(jnp.float32)
+                gy = (sample // grid_n).astype(jnp.float32)
+                u1, u2, _, _ = _uniforms4(lane, su, CAM_SALT, seed)
+                sx = (px + (gx + u1) / fgrid) / fw
+                sy = ((fh - py) + (gy + u2) / fgrid) / fh
+                d = vnormalize(vsub(vadd(vfull(p1, zf), vadd(vscale(vfull(du, zf), sx), vscale(vfull(dv, zf), sy))), vfull(origin0, zf)))
+                return vfull(origin0, zf), d
+
+            def trace(o, d):
+                """Nearest hit via unrolled object scan -> (t, obj, normal)."""
+                t_best = zf + BIG
+                obj_best = zi - 1
+                n_best = (zf, zf, zf)
+                for i in range(P):
+                    r = plane_rec(i)
+                    denom = d[0] * r[0] + d[1] * r[1] + d[2] * r[2]
+                    onum = o[0] * r[0] + o[1] * r[1] + o[2] * r[2] + r[3]
+                    t_loc = -onum / jnp.where(denom == 0, 1.0, denom)
+                    t = t_loc * r[4]
+                    valid = (jnp.abs(denom) >= FLT_EPSILON) & (t_loc >= 0) & (t >= 0) & (t < t_best)
+                    t_best = jnp.where(valid, t, t_best)
+                    obj_best = jnp.where(valid, i, obj_best)
+                    n_best = vwhere(valid, vfull((r[5], r[6], r[7]), zf), n_best)
+                d_dot_o = vdot(d, o)
+                o2 = vdot(o, o)
+                if S <= UNROLL_OBJECTS:
+                    for i in range(S):
+                        cx, cy, cz, r2 = sphere_rec(i)
+                        d_dot_c = d[0] * cx + d[1] * cy + d[2] * cz
+                        o_dot_c = o[0] * cx + o[1] * cy + o[2] * cz
+                        b = 2.0 * (d_dot_o - d_dot_c)
+                        cq = o2 - 2.0 * o_dot_c + (cx * cx + cy * cy + cz * cz - r2)
+                        discr = b * b - 4.0 * cq
+                        sq = safe_sqrt(discr)
+                        q = jnp.where(b < 0, (-b - sq) * 0.5, (-b + sq) * 0.5)
+                        t1 = cq / jnp.where(q == 0, 1.0, q)
+                        lo = jnp.minimum(q, t1)
+                        hi = jnp.maximum(q, t1)
+                        t = jnp.where(lo < 0, hi, lo)
+                        valid = (discr >= 0) & (hi >= 0) & (q != 0) & (t >= 0) & (t < t_best)
+                        t_best = jnp.where(valid, t, t_best)
+                        obj_best = jnp.where(valid, P + i, obj_best)
+                        n_new = vnormalize(vsub(vadd(o, vscale(d, t)), vfull((cx, cy, cz), zf)))
+                        n_best = vwhere(valid, n_new, n_best)
+                    return t_best, obj_best, n_best
+
+                def sphere_step(i, carry):
+                    # dynamic SMEM scalar reads keep the Mosaic graph size O(1)
+                    # in the object count (unrolling >~16 objects explodes
+                    # compile time on this toolchain)
+                    t_best, obj_best, n0, n1, n2 = carry
+                    base = off_spheres + i * _SP
+                    cx = scn_ref[0, base]
+                    cy = scn_ref[0, base + 1]
+                    cz = scn_ref[0, base + 2]
+                    r2 = scn_ref[0, base + 3]
                     d_dot_c = d[0] * cx + d[1] * cy + d[2] * cz
                     o_dot_c = o[0] * cx + o[1] * cy + o[2] * cz
                     b = 2.0 * (d_dot_o - d_dot_c)
@@ -309,322 +376,311 @@ def _build_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L):
                     hi = jnp.maximum(q, t1)
                     t = jnp.where(lo < 0, hi, lo)
                     valid = (discr >= 0) & (hi >= 0) & (q != 0) & (t >= 0) & (t < t_best)
-                    t_best = jnp.where(valid, t, t_best)
-                    obj_best = jnp.where(valid, P + i, obj_best)
                     n_new = vnormalize(vsub(vadd(o, vscale(d, t)), vfull((cx, cy, cz), zf)))
-                    n_best = vwhere(valid, n_new, n_best)
-                return t_best, obj_best, n_best
+                    return (
+                        jnp.where(valid, t, t_best),
+                        jnp.where(valid, P + i, obj_best),
+                        jnp.where(valid, n_new[0], n0),
+                        jnp.where(valid, n_new[1], n1),
+                        jnp.where(valid, n_new[2], n2),
+                    )
 
-            def sphere_step(i, carry):
-                # dynamic SMEM scalar reads keep the Mosaic graph size O(1)
-                # in the object count (unrolling >~16 objects explodes
-                # compile time on this toolchain)
-                t_best, obj_best, n0, n1, n2 = carry
-                base = off_spheres + i * _SP
-                cx = scn_ref[0, base]
-                cy = scn_ref[0, base + 1]
-                cz = scn_ref[0, base + 2]
-                r2 = scn_ref[0, base + 3]
-                d_dot_c = d[0] * cx + d[1] * cy + d[2] * cz
-                o_dot_c = o[0] * cx + o[1] * cy + o[2] * cz
-                b = 2.0 * (d_dot_o - d_dot_c)
-                cq = o2 - 2.0 * o_dot_c + (cx * cx + cy * cy + cz * cz - r2)
-                discr = b * b - 4.0 * cq
-                sq = safe_sqrt(discr)
-                q = jnp.where(b < 0, (-b - sq) * 0.5, (-b + sq) * 0.5)
-                t1 = cq / jnp.where(q == 0, 1.0, q)
-                lo = jnp.minimum(q, t1)
-                hi = jnp.maximum(q, t1)
-                t = jnp.where(lo < 0, hi, lo)
-                valid = (discr >= 0) & (hi >= 0) & (q != 0) & (t >= 0) & (t < t_best)
-                n_new = vnormalize(vsub(vadd(o, vscale(d, t)), vfull((cx, cy, cz), zf)))
-                return (
-                    jnp.where(valid, t, t_best),
-                    jnp.where(valid, P + i, obj_best),
-                    jnp.where(valid, n_new[0], n0),
-                    jnp.where(valid, n_new[1], n1),
-                    jnp.where(valid, n_new[2], n2),
+                t_best, obj_best, n0, n1, n2 = jax.lax.fori_loop(
+                    0, S, sphere_step, (t_best, obj_best, n_best[0], n_best[1], n_best[2])
                 )
+                return t_best, obj_best, (n0, n1, n2)
 
-            t_best, obj_best, n0, n1, n2 = jax.lax.fori_loop(
-                0, S, sphere_step, (t_best, obj_best, n_best[0], n_best[1], n_best[2])
-            )
-            return t_best, obj_best, (n0, n1, n2)
+            def tangent_frame(n):
+                smallest = jnp.minimum(n[2], jnp.minimum(n[0], n[1]))
+                mx = n[0] == smallest
+                my = n[1] == smallest
+                t = vwhere(mx, (zf, -n[2], n[1]), vwhere(my, (-n[2], zf, n[0]), (-n[1], n[0], zf)))
+                up = vwhere(jnp.abs(n[1]) < 0.9, vfull((0.0, 1.0, 0.0), zf), vfull((1.0, 0.0, 0.0), zf))
+                t = vwhere(vdot(t, t) < 1e-12, vcross(n, up), t)
+                t = vnormalize(t)
+                return t, vcross(n, t)
 
-        def tangent_frame(n):
-            smallest = jnp.minimum(n[2], jnp.minimum(n[0], n[1]))
-            mx = n[0] == smallest
-            my = n[1] == smallest
-            t = vwhere(mx, (zf, -n[2], n[1]), vwhere(my, (-n[2], zf, n[0]), (-n[1], n[0], zf)))
-            up = vwhere(jnp.abs(n[1]) < 0.9, vfull((0.0, 1.0, 0.0), zf), vfull((1.0, 0.0, 0.0), zf))
-            t = vwhere(vdot(t, t) < 1e-12, vcross(n, up), t)
-            t = vnormalize(t)
-            return t, vcross(n, t)
+            def gather_mat(obj):
+                if K <= UNROLL_OBJECTS + 8:  # kajo scenes: 11 spheres+planes -> 11..17 mats
+                    fields = [zf] * _MA
+                    for k in range(K):
+                        rec = mat_rec(k)
+                        m = (obj == k).astype(jnp.float32)
+                        for f in range(_MA):
+                            fields[f] = fields[f] + m * rec[f]
+                    return fields
 
-        def gather_mat(obj):
-            if K <= UNROLL_OBJECTS + 8:  # kajo scenes: 11 spheres+planes -> 11..17 mats
-                fields = [zf] * _MA
-                for k in range(K):
-                    rec = mat_rec(k)
+                def mat_step(k, fields):
+                    base = off_mats + k * _MA
                     m = (obj == k).astype(jnp.float32)
-                    for f in range(_MA):
-                        fields[f] = fields[f] + m * rec[f]
-                return fields
+                    return tuple(fields[f] + m * scn_ref[0, base + f] for f in range(_MA))
 
-            def mat_step(k, fields):
-                base = off_mats + k * _MA
-                m = (obj == k).astype(jnp.float32)
-                return tuple(fields[f] + m * scn_ref[0, base + f] for f in range(_MA))
+                return list(jax.lax.fori_loop(0, K, mat_step, tuple([zf] * _MA)))
 
-            return list(jax.lax.fori_loop(0, K, mat_step, tuple([zf] * _MA)))
+            def solid_angle(dist, rad):
+                x = jnp.clip(rad / jnp.maximum(dist, 1e-30), 0.0, 1.0)
+                omega = 2.0 * PI * (1.0 - safe_sqrt(1.0 - x * x))
+                return jnp.where(dist < rad, 4.0 * PI, omega)
 
-        def solid_angle(dist, rad):
-            x = jnp.clip(rad / jnp.maximum(dist, 1e-30), 0.0, 1.0)
-            omega = 2.0 * PI * (1.0 - safe_sqrt(1.0 - x * x))
-            return jnp.where(dist < rad, 4.0 * PI, omega)
-
-        def light_pdf_from(pos, prev_obj, hit_obj):
-            pdf = zf
-            for li in range(L):
-                r = light_rec(li)
-                delta = vsub(vfull((r[0], r[1], r[2]), zf), pos)
-                dist = safe_sqrt(vdot(delta, delta))
-                obj_id = jnp.int32(0) + r[7].astype(jnp.int32)
-                ok = (hit_obj == obj_id) & (prev_obj != obj_id)
-                pdf = pdf + jnp.where(ok, 1.0 / solid_angle(dist, r[3]), 0.0)
-            return pdf
-
-        def init_state():
-            sample = jnp.where(in_image, 0, eff)
-            o, d = camera_ray(sample * 0)
-            one = zf + 1.0
-            return (
-                sample, zi,
-                o[0], o[1], o[2], d[0], d[1], d[2],
-                one, one, one,          # throughput
-                zf, zf, zf,             # radiance
-                zi + 1,                 # emit
-                zi,                     # mis_pending
-                one,                    # pend_pdf_b
-                one, one, one,          # pend_fcos
-                zi,                     # pend_delta
-                zi - 1,                 # prev_obj
-                zf, zf, zf,             # prev_pos
-            )
-
-        def cond(st):
-            return jnp.any(st[0] < eff)
-
-        def body(st):
-            (sample, depth, ox, oy, oz, dx, dy, dz, tr, tg, tb, ra, rg, rb,
-             emit_f, misp_f, ppdf, pfr, pfg, pfb, pdelta_f, prev_obj,
-             qx, qy, qz) = st
-            o = (ox, oy, oz)
-            d = (dx, dy, dz)
-            t3 = (tr, tg, tb)
-            r3 = (ra, rg, rb)
-            active = sample < eff
-            su = sample.astype(jnp.uint32)
-            salt0 = depth.astype(jnp.uint32) * jnp.uint32(ncalls)
-            us = []
-            for i in range(ncalls):
-                us.extend(_uniforms4(lane, su, salt0 + jnp.uint32(i), seed))
-
-            t_hit, obj, normal = trace(o, d)
-            was_hit = obj >= 0
-            pos_hit = vadd(o, vscale(d, jnp.where(was_hit, t_hit, 0.0)))
-
-            # deferred MIS weight from the previous vertex
-            pdf_l_vis = light_pdf_from((qx, qy, qz), prev_obj, obj) if L else zf
-            if config.full_mis:
-                pdf_l_vis = jnp.where(pdelta_f > 0, 0.0, pdf_l_vis)
-            denom = pdf_l_vis + ppdf
-            w = 1.0 / jnp.where(denom == 0, 1.0, denom)
-            apply_w = (misp_f > 0) & active
-            t3 = vwhere(apply_w, vmul(t3, vscale((pfr, pfg, pfb), w)), t3)
-
-            # miss -> background, path ends via ~was_hit below
-            miss = active & ~was_hit
-            r3 = vwhere(miss, vadd(r3, vmul(t3, vfull(bg, zf))), r3)
-            on_path = active & was_hit
-
-            mats = gather_mat(jnp.maximum(obj, 0))
-            md = (mats[0], mats[1], mats[2])
-            ms = (mats[3], mats[4], mats[5])
-            me = (mats[6], mats[7], mats[8])
-            mt = (mats[9], mats[10], mats[11])
-            mexp = mats[12]
-            mior = mats[13]
-
-            # Russian roulette (+ depth limit)
-            p_rr = jnp.maximum(
-                jnp.maximum(jnp.maximum(md[0], ms[0]), jnp.maximum(md[1], ms[1])),
-                jnp.maximum(
-                    jnp.maximum(md[2], ms[2]),
-                    jnp.maximum(jnp.maximum(mt[0], mt[1]), mt[2]),
-                ),
-            )
-            cont = (p_rr > 0) & (us[0] <= p_rr)
-            prob_rr = jnp.where(cont, p_rr, 1.0 - p_rr)
-            t3 = vwhere(on_path, vscale(t3, 1.0 / prob_rr), t3)
-            tk = t3
-            emitter = on_path & (emit_f > 0)
-            survive = on_path & cont & (depth < max_depth)
-
-            # BSDF lottery
-            sum_d = md[0] + md[1] + md[2]
-            sum_s = ms[0] + ms[1] + ms[2]
-            sum_t = mt[0] + mt[1] + mt[2]
-            total = sum_d + sum_s + sum_t
-            p_t = jnp.where(total > 0, sum_t / jnp.where(total == 0, 1.0, total), 0.0)
-            transmit = (p_t > 0) & (us[1] <= p_t)
-            prob_t = jnp.where(transmit, p_t, 1.0 - p_t)
-            t3 = vwhere(survive, vscale(t3, 1.0 / prob_t), t3)
-            dsum = sum_d + sum_s
-            p_d = jnp.where(dsum > 0, sum_d / jnp.where(dsum == 0, 1.0, dsum), 0.0)
-            diffc = (p_d > 0) & (us[2] <= p_d)
-            prob_d = jnp.where(diffc, p_d, 1.0 - p_d)
-            t3 = vwhere(survive & ~transmit, vscale(t3, 1.0 / prob_d), t3)
-
-            m_trans = survive & transmit
-            m_lam = survive & ~transmit & diffc
-            m_ph = survive & ~transmit & ~diffc & (mexp > 0)
-            m_mir = survive & ~transmit & ~diffc & (mexp <= 0)
-            scatter = m_lam | m_ph | m_mir
-
-            view = d
-            tangent, binormal = tangent_frame(normal)
-            refl = reflect(view, normal)
-
-            # NEE over lights
-            if nee_on:
-                nee = (zf, zf, zf)
+            def light_pdf_from(pos, prev_obj, hit_obj):
+                pdf = zf
                 for li in range(L):
                     r = light_rec(li)
-                    u1 = us[5 + 3 * li]
-                    u2 = us[6 + 3 * li]
-                    u3 = us[7 + 3 * li]
-                    rad = r[3]
-                    sx_ = rad * jnp.sqrt(u1) * jnp.cos(2.0 * PI * u2)
-                    sy_ = rad * jnp.sqrt(u1) * jnp.sin(2.0 * PI * u2)
-                    sz_ = safe_sqrt(rad * rad - sx_ * sx_ - sy_ * sy_) * jnp.sin(PI * (u3 - 0.5))
-                    c = vfull((r[0], r[1], r[2]), zf)
-                    dl = vnormalize(vsub(vadd(c, (sx_, sy_, sz_)), pos_hit))
-                    delta = vsub(c, pos_hit)
+                    delta = vsub(vfull((r[0], r[1], r[2]), zf), pos)
                     dist = safe_sqrt(vdot(delta, delta))
-                    pdf_l = 1.0 / solid_angle(dist, rad)
-                    _, st_obj, _ = trace(vadd(pos_hit, vscale(dl, eps)), dl)
                     obj_id = jnp.int32(0) + r[7].astype(jnp.int32)
-                    visible = st_obj == obj_id
-                    not_self = obj != obj_id
-                    cosl = vdot(normal, dl)
-                    lobe_l = (mexp + 1.0) / (2.0 * PI) * safe_pow(jnp.maximum(vdot(refl, dl), 0.0), mexp)
-                    pdf_b_l = jnp.where(m_lam, cosl / PI, jnp.where(m_ph, lobe_l, 0.0))
-                    fcos_l = vwhere(
+                    ok = (hit_obj == obj_id) & (prev_obj != obj_id)
+                    pdf = pdf + jnp.where(ok, 1.0 / solid_angle(dist, r[3]), 0.0)
+                return pdf
+
+            def init_state():
+                sample = jnp.where(in_image, 0, eff)
+                o, d = camera_ray(sample * 0)
+                one = zf + 1.0
+                return (
+                    sample, zi,
+                    o[0], o[1], o[2], d[0], d[1], d[2],
+                    one, one, one,          # throughput
+                    zf, zf, zf,             # radiance
+                    zi + 1,                 # emit
+                    zi,                     # mis_pending
+                    one,                    # pend_pdf_b
+                    one, one, one,          # pend_fcos
+                    zi,                     # pend_delta
+                    zi - 1,                 # prev_obj
+                    zf, zf, zf,             # prev_pos
+                )
+
+            def cond(st):
+                return jnp.any(st[0] < eff)
+
+            def body(st):
+                (sample, depth, ox, oy, oz, dx, dy, dz, tr, tg, tb, ra, rg, rb,
+                 emit_f, misp_f, ppdf, pfr, pfg, pfb, pdelta_f, prev_obj,
+                 qx, qy, qz) = st
+                o = (ox, oy, oz)
+                d = (dx, dy, dz)
+                t3 = (tr, tg, tb)
+                r3 = (ra, rg, rb)
+                active = sample < eff
+                su = sample.astype(jnp.uint32)
+                salt0 = depth.astype(jnp.uint32) * jnp.uint32(ncalls)
+                us = []
+                for i in range(ncalls):
+                    us.extend(_uniforms4(lane, su, salt0 + jnp.uint32(i), seed))
+
+                t_hit, obj, normal = trace(o, d)
+                was_hit = obj >= 0
+                pos_hit = vadd(o, vscale(d, jnp.where(was_hit, t_hit, 0.0)))
+
+                # deferred MIS weight from the previous vertex
+                pdf_l_vis = light_pdf_from((qx, qy, qz), prev_obj, obj) if L else zf
+                if config.full_mis:
+                    pdf_l_vis = jnp.where(pdelta_f > 0, 0.0, pdf_l_vis)
+                denom = pdf_l_vis + ppdf
+                w = 1.0 / jnp.where(denom == 0, 1.0, denom)
+                apply_w = (misp_f > 0) & active
+                t3 = vwhere(apply_w, vmul(t3, vscale((pfr, pfg, pfb), w)), t3)
+
+                # miss -> background, path ends via ~was_hit below
+                miss = active & ~was_hit
+                r3 = vwhere(miss, vadd(r3, vmul(t3, vfull(bg, zf))), r3)
+                on_path = active & was_hit
+
+                mats = gather_mat(jnp.maximum(obj, 0))
+                md = (mats[0], mats[1], mats[2])
+                ms = (mats[3], mats[4], mats[5])
+                me = (mats[6], mats[7], mats[8])
+                mt = (mats[9], mats[10], mats[11])
+                mexp = mats[12]
+                mior = mats[13]
+
+                # Russian roulette (+ depth limit)
+                p_rr = jnp.maximum(
+                    jnp.maximum(jnp.maximum(md[0], ms[0]), jnp.maximum(md[1], ms[1])),
+                    jnp.maximum(
+                        jnp.maximum(md[2], ms[2]),
+                        jnp.maximum(jnp.maximum(mt[0], mt[1]), mt[2]),
+                    ),
+                )
+                cont = (p_rr > 0) & (us[0] <= p_rr)
+                prob_rr = jnp.where(cont, p_rr, 1.0 - p_rr)
+                t3 = vwhere(on_path, vscale(t3, 1.0 / prob_rr), t3)
+                tk = t3
+                emitter = on_path & (emit_f > 0)
+                survive = on_path & cont & (depth < max_depth)
+
+                # BSDF lottery
+                sum_d = md[0] + md[1] + md[2]
+                sum_s = ms[0] + ms[1] + ms[2]
+                sum_t = mt[0] + mt[1] + mt[2]
+                total = sum_d + sum_s + sum_t
+                p_t = jnp.where(total > 0, sum_t / jnp.where(total == 0, 1.0, total), 0.0)
+                transmit = (p_t > 0) & (us[1] <= p_t)
+                prob_t = jnp.where(transmit, p_t, 1.0 - p_t)
+                t3 = vwhere(survive, vscale(t3, 1.0 / prob_t), t3)
+                dsum = sum_d + sum_s
+                p_d = jnp.where(dsum > 0, sum_d / jnp.where(dsum == 0, 1.0, dsum), 0.0)
+                diffc = (p_d > 0) & (us[2] <= p_d)
+                prob_d = jnp.where(diffc, p_d, 1.0 - p_d)
+                t3 = vwhere(survive & ~transmit, vscale(t3, 1.0 / prob_d), t3)
+
+                m_trans = survive & transmit
+                m_lam = survive & ~transmit & diffc
+                m_ph = survive & ~transmit & ~diffc & (mexp > 0)
+                m_mir = survive & ~transmit & ~diffc & (mexp <= 0)
+                scatter = m_lam | m_ph | m_mir
+
+                view = d
+                tangent, binormal = tangent_frame(normal)
+                refl = reflect(view, normal)
+
+                # NEE over lights
+                if nee_on:
+                    nee = (zf, zf, zf)
+                    for li in range(L):
+                        r = light_rec(li)
+                        u1 = us[5 + 3 * li]
+                        u2 = us[6 + 3 * li]
+                        u3 = us[7 + 3 * li]
+                        rad = r[3]
+                        sx_ = rad * jnp.sqrt(u1) * jnp.cos(2.0 * PI * u2)
+                        sy_ = rad * jnp.sqrt(u1) * jnp.sin(2.0 * PI * u2)
+                        sz_ = safe_sqrt(rad * rad - sx_ * sx_ - sy_ * sy_) * jnp.sin(PI * (u3 - 0.5))
+                        c = vfull((r[0], r[1], r[2]), zf)
+                        dl = vnormalize(vsub(vadd(c, (sx_, sy_, sz_)), pos_hit))
+                        delta = vsub(c, pos_hit)
+                        dist = safe_sqrt(vdot(delta, delta))
+                        pdf_l = 1.0 / solid_angle(dist, rad)
+                        _, st_obj, _ = trace(vadd(pos_hit, vscale(dl, eps)), dl)
+                        obj_id = jnp.int32(0) + r[7].astype(jnp.int32)
+                        visible = st_obj == obj_id
+                        not_self = obj != obj_id
+                        cosl = vdot(normal, dl)
+                        lobe_l = (mexp + 1.0) / (2.0 * PI) * safe_pow(jnp.maximum(vdot(refl, dl), 0.0), mexp)
+                        pdf_b_l = jnp.where(m_lam, cosl / PI, jnp.where(m_ph, lobe_l, 0.0))
+                        fcos_l = vwhere(
+                            m_lam,
+                            vscale(md, jnp.maximum(cosl, 0.0) / PI),
+                            vwhere(
+                                m_ph,
+                                vscale(ms, lobe_l * jnp.maximum(cosl, 0.0)),
+                                (zf, zf, zf),
+                            ),
+                        )
+                        ok = visible & not_self & (pdf_b_l != 0) & (pdf_l > 0)
+                        wl = jnp.where(ok, 1.0 / (pdf_b_l + pdf_l), 0.0)
+                        nee = vadd(nee, vscale(vmul(fcos_l, vfull((r[4], r[5], r[6]), zf)), wl))
+                    r3 = vwhere(scatter, vadd(r3, vmul(t3, nee)), r3)
+
+                # continuation sample
+                u1, u2 = us[3], us[4]
+                # transmission
+                cos_a = vdot(view, normal)
+                entering = cos_a < 0
+                n_eff = vwhere(entering, normal, vscale(normal, -1.0))
+                eta = jnp.where(entering, 1.0 / mior, mior)
+                ci = vdot(view, n_eff)
+                kk = 1.0 - eta * eta * (1.0 - ci * ci)
+                refr = vsub(vscale(view, eta), vscale(n_eff, eta * ci + safe_sqrt(kk)))
+                d_trans = vwhere(kk < 0, reflect(view, n_eff), refr)
+                # lambert (cosine hemisphere in the surface frame)
+                rl = jnp.sqrt(u1)
+                phi = u2 * 2.0 * PI
+                lz = safe_sqrt(1.0 - u1)
+                d_lam = vadd(
+                    vadd(vscale(tangent, rl * jnp.cos(phi)), vscale(binormal, rl * jnp.sin(phi))),
+                    vscale(normal, lz),
+                )
+                pdf_lam = lz / PI
+                # phong lobe about the reflection
+                zax = vfull((0.0, 0.0, 1.0), zf)
+                uax = vcross(zax, refl)
+                degen = vdot(uax, uax) < 1e-12
+                uax = vnormalize(vwhere(degen, vcross(vfull((0.0, 1.0, 0.0), zf), refl), uax))
+                vax = vcross(uax, refl)
+                cos_ph = safe_pow(u1, 1.0 / (mexp + 1.0))
+                sin_ph = safe_sqrt(1.0 - cos_ph * cos_ph)
+                d_ph = vadd(
+                    vadd(vscale(uax, sin_ph * jnp.cos(phi)), vscale(vax, sin_ph * jnp.sin(phi))),
+                    vscale(refl, cos_ph),
+                )
+                pdf_ph = (mexp + 1.0) / (2.0 * PI) * safe_pow(cos_ph, mexp)
+
+                new_d = vwhere(m_trans, d_trans, vwhere(m_lam, d_lam, vwhere(m_ph, d_ph, refl)))
+                pdf_b = jnp.where(m_lam, pdf_lam, jnp.where(m_ph, pdf_ph, 1.0))
+                cos_nd = vdot(normal, new_d)
+                lobe_c = (mexp + 1.0) / (2.0 * PI) * safe_pow(jnp.maximum(vdot(refl, d_ph), 0.0), mexp)
+                fcos = vwhere(
+                    m_trans,
+                    ms,
+                    vwhere(
                         m_lam,
-                        vscale(md, jnp.maximum(cosl, 0.0) / PI),
+                        vscale(md, jnp.maximum(cos_nd, 0.0) / PI),
                         vwhere(
                             m_ph,
-                            vscale(ms, lobe_l * jnp.maximum(cosl, 0.0)),
-                            (zf, zf, zf),
+                            vscale(ms, lobe_c * jnp.maximum(cos_nd, 0.0)),
+                            vwhere(cos_nd > 0, ms, (zf, zf, zf)),
                         ),
-                    )
-                    ok = visible & not_self & (pdf_b_l != 0) & (pdf_l > 0)
-                    wl = jnp.where(ok, 1.0 / (pdf_b_l + pdf_l), 0.0)
-                    nee = vadd(nee, vscale(vmul(fcos_l, vfull((r[4], r[5], r[6]), zf)), wl))
-                r3 = vwhere(scatter, vadd(r3, vmul(t3, nee)), r3)
-
-            # continuation sample
-            u1, u2 = us[3], us[4]
-            # transmission
-            cos_a = vdot(view, normal)
-            entering = cos_a < 0
-            n_eff = vwhere(entering, normal, vscale(normal, -1.0))
-            eta = jnp.where(entering, 1.0 / mior, mior)
-            ci = vdot(view, n_eff)
-            kk = 1.0 - eta * eta * (1.0 - ci * ci)
-            refr = vsub(vscale(view, eta), vscale(n_eff, eta * ci + safe_sqrt(kk)))
-            d_trans = vwhere(kk < 0, reflect(view, n_eff), refr)
-            # lambert (cosine hemisphere in the surface frame)
-            rl = jnp.sqrt(u1)
-            phi = u2 * 2.0 * PI
-            lz = safe_sqrt(1.0 - u1)
-            d_lam = vadd(
-                vadd(vscale(tangent, rl * jnp.cos(phi)), vscale(binormal, rl * jnp.sin(phi))),
-                vscale(normal, lz),
-            )
-            pdf_lam = lz / PI
-            # phong lobe about the reflection
-            zax = vfull((0.0, 0.0, 1.0), zf)
-            uax = vcross(zax, refl)
-            degen = vdot(uax, uax) < 1e-12
-            uax = vnormalize(vwhere(degen, vcross(vfull((0.0, 1.0, 0.0), zf), refl), uax))
-            vax = vcross(uax, refl)
-            cos_ph = safe_pow(u1, 1.0 / (mexp + 1.0))
-            sin_ph = safe_sqrt(1.0 - cos_ph * cos_ph)
-            d_ph = vadd(
-                vadd(vscale(uax, sin_ph * jnp.cos(phi)), vscale(vax, sin_ph * jnp.sin(phi))),
-                vscale(refl, cos_ph),
-            )
-            pdf_ph = (mexp + 1.0) / (2.0 * PI) * safe_pow(cos_ph, mexp)
-
-            new_d = vwhere(m_trans, d_trans, vwhere(m_lam, d_lam, vwhere(m_ph, d_ph, refl)))
-            pdf_b = jnp.where(m_lam, pdf_lam, jnp.where(m_ph, pdf_ph, 1.0))
-            cos_nd = vdot(normal, new_d)
-            lobe_c = (mexp + 1.0) / (2.0 * PI) * safe_pow(jnp.maximum(vdot(refl, d_ph), 0.0), mexp)
-            fcos = vwhere(
-                m_trans,
-                ms,
-                vwhere(
-                    m_lam,
-                    vscale(md, jnp.maximum(cos_nd, 0.0) / PI),
-                    vwhere(
-                        m_ph,
-                        vscale(ms, lobe_c * jnp.maximum(cos_nd, 0.0)),
-                        vwhere(cos_nd > 0, ms, (zf, zf, zf)),
                     ),
-                ),
+                )
+
+                t3 = vwhere(m_trans, vmul(t3, fcos), t3)
+                r3 = vwhere(emitter, vadd(r3, vmul(vwhere(survive, t3, tk), me)), r3)
+                continuing = survive & (m_trans | (pdf_b != 0))
+                if config.regen_threshold > 0.0:
+                    # GL-backend throughput culling (gl/SurfaceShader.cpp:88-93);
+                    # see models/wavefront.py for the semantics note
+                    tmax = jnp.maximum(jnp.maximum(t3[0], t3[1]), t3[2])
+                    continuing = continuing & (tmax >= np.float32(config.regen_threshold))
+
+                # regeneration
+                path_end = active & ~continuing
+                new_sample = jnp.where(path_end, sample + 1, sample)
+                o_cam, d_cam = camera_ray(jnp.minimum(new_sample, eff - 1))
+                new_o = vwhere(continuing, vadd(pos_hit, vscale(new_d, eps)), vwhere(path_end, o_cam, o))
+                new_dir = vwhere(continuing, new_d, vwhere(path_end, d_cam, d))
+                t3 = vwhere(path_end, vfull((1.0, 1.0, 1.0), zf), t3)
+                sc = scatter & ~path_end
+                return (
+                    new_sample,
+                    jnp.where(path_end, 0, depth + 1),
+                    new_o[0], new_o[1], new_o[2], new_dir[0], new_dir[1], new_dir[2],
+                    t3[0], t3[1], t3[2], r3[0], r3[1], r3[2],
+                    jnp.where(path_end, 1, jnp.where(scatter, jnp.int32(emit_after_scatter), emit_f)),
+                    jnp.where(sc, 1, 0).astype(jnp.int32),
+                    jnp.where(sc, pdf_b, 1.0),
+                    jnp.where(sc, fcos[0], 1.0),
+                    jnp.where(sc, fcos[1], 1.0),
+                    jnp.where(sc, fcos[2], 1.0),
+                    jnp.where(m_mir & ~path_end, 1, 0).astype(jnp.int32),
+                    jnp.where(sc, obj, -1),
+                    jnp.where(sc, pos_hit[0], 0.0),
+                    jnp.where(sc, pos_hit[1], 0.0),
+                    jnp.where(sc, pos_hit[2], 0.0),
+                )
+
+            final = jax.lax.while_loop(cond, body, init_state())
+            return final[11], final[12], final[13]
+
+        if jvp:
+            nf = off_cam + 12
+            vals = [scn_ref[0, i] for i in range(nf)]
+            tvals = [tan_ref[0, i] for i in range(nf)]
+            (r0, r1, r2), (d0, d1, d2) = jax.jvp(
+                lambda v: run(lambda i: v[i]), (vals,), (tvals,)
             )
-
-            t3 = vwhere(m_trans, vmul(t3, fcos), t3)
-            r3 = vwhere(emitter, vadd(r3, vmul(vwhere(survive, t3, tk), me)), r3)
-            continuing = survive & (m_trans | (pdf_b != 0))
-            if config.regen_threshold > 0.0:
-                # GL-backend throughput culling (gl/SurfaceShader.cpp:88-93);
-                # see models/wavefront.py for the semantics note
-                tmax = jnp.maximum(jnp.maximum(t3[0], t3[1]), t3[2])
-                continuing = continuing & (tmax >= np.float32(config.regen_threshold))
-
-            # regeneration
-            path_end = active & ~continuing
-            new_sample = jnp.where(path_end, sample + 1, sample)
-            o_cam, d_cam = camera_ray(jnp.minimum(new_sample, eff - 1))
-            new_o = vwhere(continuing, vadd(pos_hit, vscale(new_d, eps)), vwhere(path_end, o_cam, o))
-            new_dir = vwhere(continuing, new_d, vwhere(path_end, d_cam, d))
-            t3 = vwhere(path_end, vfull((1.0, 1.0, 1.0), zf), t3)
-            sc = scatter & ~path_end
-            return (
-                new_sample,
-                jnp.where(path_end, 0, depth + 1),
-                new_o[0], new_o[1], new_o[2], new_dir[0], new_dir[1], new_dir[2],
-                t3[0], t3[1], t3[2], r3[0], r3[1], r3[2],
-                jnp.where(path_end, 1, jnp.where(scatter, jnp.int32(emit_after_scatter), emit_f)),
-                jnp.where(sc, 1, 0).astype(jnp.int32),
-                jnp.where(sc, pdf_b, 1.0),
-                jnp.where(sc, fcos[0], 1.0),
-                jnp.where(sc, fcos[1], 1.0),
-                jnp.where(sc, fcos[2], 1.0),
-                jnp.where(m_mir & ~path_end, 1, 0).astype(jnp.int32),
-                jnp.where(sc, obj, -1),
-                jnp.where(sc, pos_hit[0], 0.0),
-                jnp.where(sc, pos_hit[1], 0.0),
-                jnp.where(sc, pos_hit[2], 0.0),
-            )
-
-        final = jax.lax.while_loop(cond, body, init_state())
-        out_ref[0] = final[11]
-        out_ref[1] = final[12]
-        out_ref[2] = final[13]
+            out_ref[0] = r0
+            out_ref[1] = r1
+            out_ref[2] = r2
+            outdot_ref[0] = d0
+            outdot_ref[1] = d1
+            outdot_ref[2] = d2
+        else:
+            r0, r1, r2 = run(lambda i: scn_ref[0, i])
+            out_ref[0] = r0
+            out_ref[1] = r1
+            out_ref[2] = r2
 
     return kernel
 
@@ -684,6 +740,88 @@ def _mega_call(kernel, seedbuf, packed, n_tiles, rows_pad):
         ],
         out_specs=pl.BlockSpec((3, TILE_ROWS, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
     )(seedbuf, packed)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
+def render_pass_megakernel_jvp(
+    scene: Scene,
+    scene_tangent: Scene,
+    key: jax.Array,
+    width: int,
+    height: int,
+    spp: int,
+    config: RenderConfig = RenderConfig(),
+):
+    """Forward-mode megakernel: (image, d image/dε) in ONE fused kernel.
+
+    ``scene_tangent`` is a Scene pytree of tangents (zeros except the
+    perturbed leaves — e.g. a sphere center direction). The scene packing
+    (prepare_scene + _pack_scene) is differentiated by XLA outside the
+    kernel; inside, jax.jvp threads the tangents through the entire
+    path-tracing loop — hit distances, normals, sampled directions, pdfs
+    and MIS weights all carry derivatives, with the discrete coin
+    probabilities detached exactly like the jax engines. This is the
+    kernel-speed geometry-gradient path (sphere transforms/radii — reverse
+    mode covers materials via megakernel_grad): a handful of directional
+    derivatives beats the ~1M samples/s jax budget engine by an order of
+    magnitude. Requires a fully-unrolled scene (<= UNROLL_OBJECTS spheres).
+    """
+    grid_n = max(int(spp**0.5), 1)
+    eff = grid_n * grid_n
+    divisor = float(spp if config.kajo_spp_quirk else eff)
+
+    n = width * height
+    rows = -(-n // 128)
+    rows_pad = -(-rows // TILE_ROWS) * TILE_ROWS
+    n_tiles = rows_pad // TILE_ROWS
+
+    P = scene.num_planes
+    S = scene.num_spheres
+    L = scene.num_lights
+    kernel = _build_kernel(width, height, grid_n, eff, config, P, S, L, jvp=True)
+
+    packed, packed_dot = jax.jvp(
+        lambda s: _pack_scene(prepare_scene(s)), (scene,), (scene_tangent,)
+    )
+    seed = jnp.asarray(seed_from_key(key), jnp.uint32)
+    seedbuf = jnp.stack([seed, jnp.uint32(0)]).reshape(1, 2)
+
+    out, out_dot = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((3, rows_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((3, rows_pad, 128), jnp.float32),
+        ),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((3, TILE_ROWS, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_ROWS, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ),
+    )(seedbuf, packed, packed_dot)
+
+    def to_img(o):
+        rgb = o.reshape(3, rows_pad * 128)[:, :n].T / divisor
+        img = jnp.concatenate([rgb, jnp.ones((n, 1), jnp.float32)], axis=1)
+        return img.reshape(height, width, 4)
+
+    img = to_img(out)
+    img_dot = to_img(out_dot)
+    # the tangent image's alpha picked up the constant 1 from to_img; zero it
+    img_dot = img_dot.at[..., 3].set(0.0)
+    return img, img_dot
+
+
+def scene_zero_tangent(scene: Scene) -> Scene:
+    """A Scene tangent pytree of zeros for render_pass_megakernel_jvp; set
+    the perturbed leaves with dataclasses.replace / .at[] updates. (All
+    Scene data leaves are float arrays; light_indices/rigid are static
+    metadata carried over by tree.map.)"""
+    return jax.tree.map(lambda x: jnp.zeros_like(jnp.asarray(x, jnp.float32)), scene)
 
 
 @partial(

@@ -111,6 +111,30 @@ def test_silhouette_term_composes_with_autodiff():
     np.testing.assert_allclose(np.asarray(g[0, :3, 3]), np.asarray(gc[0]), rtol=1e-5)
 
 
+def test_inverse_renderer_edge_gradients_api():
+    """InverseRenderer(edge_gradients=True) drives position through the
+    silhouette term (the config-4 workflow surface)."""
+    from kajo_tpu.diff.inverse import InverseRenderer
+
+    target = render_image(_edge_scene(cx=0.0), W, H, 16, jax.random.PRNGKey(7), passes=2, config=CFG)
+    inv = InverseRenderer(
+        _edge_scene(cx=0.5),
+        target,
+        W,
+        H,
+        spp=16,
+        config=CFG,
+        param_spec=("sphere_transform",),
+        edge_gradients=True,
+        n_edge=512,
+        learning_rate=5e-2,
+    )
+    assert inv.engine == "jax"
+    inv.run(25, jax.random.PRNGKey(9))
+    err = abs(float(inv.params["sphere_transform"][0, 0, 3]))
+    assert err < 0.25, err
+
+
 def test_inverse_position_recovery_through_silhouette():
     """The config-4 completion: recover a flat-lit sphere's position where
     interior gradients are zero — only the edge term can drive it."""

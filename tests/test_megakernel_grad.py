@@ -152,3 +152,142 @@ def test_big_k_diffuse_grad_close(big_scene):
     fd = (mean(_with_mat(big_scene, "diffuse", k_best, 0, h))
           - mean(_with_mat(big_scene, "diffuse", k_best, 0, -h))) / (2 * h)
     np.testing.assert_allclose(gr["diffuse"][k_best, 0], fd, rtol=0.05, atol=1e-5)
+
+
+# ---- forward-mode (jvp) megakernel: geometry tangents at kernel speed ----
+def _mega_img(scene, cfg=CFG):
+    with pltpu.force_tpu_interpret_mode():
+        return np.asarray(render_pass_megakernel(scene, KEY, W, H, SPP, cfg))
+
+
+def test_jvp_kernel_matches_same_seed_fd(scene):
+    """d(image)/d(sphere center x) from the fused forward-mode kernel ==
+    same-seed central differences (coins detached -> identical paths; the
+    few visibility-flip pixels are masked)."""
+    from kajo_tpu.ops.pallas.megakernel import (
+        render_pass_megakernel_jvp,
+        scene_zero_tangent,
+    )
+
+    for sph, col in [(1, 3), (2, 3)]:
+        tan = scene_zero_tangent(scene)
+        tan = dataclasses.replace(
+            tan, sphere_transform=tan.sphere_transform.at[sph, 0, col].set(1.0)
+        )
+        with pltpu.force_tpu_interpret_mode():
+            img, img_dot = render_pass_megakernel_jvp(scene, tan, KEY, W, H, SPP, CFG)
+        h = 1e-3
+        sp = dataclasses.replace(
+            scene, sphere_transform=scene.sphere_transform.at[sph, 0, col].add(h)
+        )
+        sm = dataclasses.replace(
+            scene, sphere_transform=scene.sphere_transform.at[sph, 0, col].add(-h)
+        )
+        fd = (_mega_img(sp) - _mega_img(sm)) / (2 * h)
+        a, b = np.asarray(img_dot[..., :3]), fd[..., :3]
+        assert np.isfinite(a).all()
+        assert np.abs(a).sum() > 1.0  # real signal
+        mask = np.abs(b) < 50  # FD blows up where a silhouette crosses a pixel
+        denom = max(np.abs(b[mask]).max(), 1.0)
+        assert np.abs(a[mask] - b[mask]).max() / denom < 0.01
+        # primal side of the jvp is the ordinary render
+        np.testing.assert_allclose(np.asarray(img), _mega_img(scene), rtol=1e-4, atol=1e-5)
+
+
+def test_jvp_kernel_radius_tangent(scene):
+    from kajo_tpu.ops.pallas.megakernel import (
+        render_pass_megakernel_jvp,
+        scene_zero_tangent,
+    )
+
+    tan = scene_zero_tangent(scene)
+    tan = dataclasses.replace(tan, sphere_radius=tan.sphere_radius.at[2].set(1.0))
+    with pltpu.force_tpu_interpret_mode():
+        _, img_dot = render_pass_megakernel_jvp(scene, tan, KEY, W, H, SPP, CFG)
+    h = 2e-3
+    sp = dataclasses.replace(scene, sphere_radius=scene.sphere_radius.at[2].add(h))
+    sm = dataclasses.replace(scene, sphere_radius=scene.sphere_radius.at[2].add(-h))
+    fd = (_mega_img(sp) - _mega_img(sm)) / (2 * h)
+    a, b = np.asarray(img_dot[..., :3]), fd[..., :3]
+    assert np.abs(a).sum() > 0.1
+    mask = np.abs(b) < 50
+    denom = max(np.abs(b[mask]).max(), 1.0)
+    assert np.abs(a[mask] - b[mask]).max() / denom < 0.02
+
+
+def test_jvp_kernel_material_tangent(scene):
+    """Material tangents thread through the same jvp kernel (diffuse of the
+    green sphere, matching the reverse-mode kernel's gradient)."""
+    from kajo_tpu.ops.pallas.megakernel import (
+        render_pass_megakernel_jvp,
+        scene_zero_tangent,
+    )
+
+    tan = scene_zero_tangent(scene)
+    mats = tan.materials
+    tan = dataclasses.replace(
+        tan, materials=dataclasses.replace(mats, diffuse=mats.diffuse.at[8, 0].set(1.0))
+    )
+    with pltpu.force_tpu_interpret_mode():
+        _, img_dot = render_pass_megakernel_jvp(scene, tan, KEY, W, H, SPP, CFG)
+    # <d image, ones> must equal the reverse-mode kernel's diffuse gradient
+    g = np.ones((H, W, 3), np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        gr = material_grads(scene, KEY, g, W, H, SPP, CFG)
+    np.testing.assert_allclose(
+        float(np.asarray(img_dot[..., :3]).sum()),
+        float(np.asarray(gr["diffuse"])[8, 0]),
+        rtol=1e-3,
+    )
+
+
+def test_inverse_mega_fwd_grads_match_fd(scene):
+    """InverseRenderer(engine='mega-fwd'): per-scalar forward-mode gradients
+    of the cross-estimator loss match central differences of the same loss."""
+    import numpy as np
+
+    from kajo_tpu.diff.inverse import InverseRenderer, apply_params
+
+    # target: the scene itself, slightly perturbed sphere 1
+    target = _mega_like_target(scene)
+    mask = {"sphere_transform": np.zeros(scene.sphere_transform.shape, bool)}
+    mask["sphere_transform"][1, 0, 3] = True
+    mask["sphere_transform"][1, 1, 3] = True
+    with pltpu.force_tpu_interpret_mode():
+        inv = InverseRenderer(
+            scene, target, W, H, spp=SPP, config=CFG,
+            param_spec=("sphere_transform",), engine="mega-fwd", param_mask=mask,
+        )
+        loss, grads = inv._loss_and_grad(inv.params, KEY)
+    g = np.asarray(grads["sphere_transform"])
+    assert np.count_nonzero(g) == 2
+
+    # FD of the same loss (same keys, primal kernel)
+    def loss_of(st):
+        import jax.numpy as jnp
+
+        s = dataclasses.replace(scene, sphere_transform=st)
+        k1, k2 = jax.random.split(KEY)
+        with pltpu.force_tpu_interpret_mode():
+            i1 = render_pass_megakernel(s, k1, W, H, SPP, CFG)[..., :3]
+            i2 = render_pass_megakernel(s, k2, W, H, SPP, CFG)[..., :3]
+        t = target[..., :3]
+        return float(jnp.sum((i1 - t) * (i2 - t)) / (W * H * 3))
+
+    h = 1e-3
+    st = scene.sphere_transform
+    for (r, c) in [(0, 3), (1, 3)]:
+        fd = (
+            loss_of(st.at[1, r, c].add(h)) - loss_of(st.at[1, r, c].add(-h))
+        ) / (2 * h)
+        np.testing.assert_allclose(g[1, r, c], fd, rtol=0.05, atol=1e-4)
+
+
+def _mega_like_target(scene):
+    import jax.numpy as jnp
+
+    shifted = dataclasses.replace(
+        scene, sphere_transform=scene.sphere_transform.at[1, 0, 3].add(0.3)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        return render_pass_megakernel(shifted, jax.random.PRNGKey(99), W, H, SPP, CFG)
