@@ -46,9 +46,13 @@ def _maxrgb(c):
     return jnp.max(c, axis=-1)
 
 
-def _camera_ray(prep, lane, sample, seed, width, height, grid):
-    px = (lane % width).astype(jnp.float32)
-    py = (lane // width).astype(jnp.float32)
+def _camera_ray(prep, lane, pix, sample, seed, width, height, grid):
+    # ``pix`` is the pixel id this lane renders (== lane by default; big
+    # scenes remap lanes into square screen tiles so the streaming trace's
+    # per-ray-tile AABB culling sees tight frustums); the PCG4D streams stay
+    # keyed by lane — any lane->pixel bijection is a valid estimator
+    px = (pix % width).astype(jnp.float32)
+    py = (pix // width).astype(jnp.float32)
     gx = (sample % grid).astype(jnp.float32)
     gy = (sample // grid).astype(jnp.float32)
     u1, u2, _, _ = uniforms4(lane, sample.astype(jnp.uint32), _CAMERA_SALT, seed)
@@ -66,7 +70,17 @@ def _nee3(prep, hit, mat, u_l, m_lambert, m_phong, eps, trace_fn=trace):
     radius = prep.light_radius[None, :]
     dir_l, pdf_l = lights.sample(u_l[0], u_l[1], u_l[2], center, radius, pos)
 
-    sh = trace_fn(prep, (pos + dir_l * eps).reshape(n * num_l, 3), dir_l.reshape(n * num_l, 3))
+    # shadow query bound: the sampled light point is within dist + radius of
+    # the surface, so occluders beyond that cannot change the answer — the
+    # streaming trace uses this to skip sphere blocks beyond the light
+    dist = jnp.linalg.norm(center - pos, axis=-1)
+    t_shadow = (dist + radius + 1.0).reshape(n * num_l)
+    sh = trace_fn(
+        prep,
+        (pos + dir_l * eps).reshape(n * num_l, 3),
+        dir_l.reshape(n * num_l, 3),
+        t_max=t_shadow,
+    )
     visible = sh.obj.reshape(n, num_l) == prep.light_obj[None, :]
     not_self = hit.obj[:, None] != prep.light_obj[None, :]
 
@@ -113,6 +127,7 @@ def _make_loop(
     grid: int,
     config: RenderConfig,
     trace_fn=trace,
+    pix=None,
 ):
     """Build (init_state, cond, body) for the regenerating wavefront.
 
@@ -120,6 +135,8 @@ def _make_loop(
     at path end) and ``r_cur`` (the in-flight sample), so a truncated run
     can discard partial samples and stay unbiased per completed sample."""
     n = lane.shape[0]
+    if pix is None:
+        pix = lane
     num_lights = prep.light_obj.shape[0]
     eps = jnp.float32(config.surface_epsilon)
     mat3 = {
@@ -134,7 +151,7 @@ def _make_loop(
     emit_after_scatter = (not config.direct_lighting) or config.full_mis
 
     sample0 = jnp.zeros((n,), jnp.int32)
-    o0, d0 = _camera_ray(prep, lane, sample0, seed, width, height, grid)
+    o0, d0 = _camera_ray(prep, lane, pix, sample0, seed, width, height, grid)
     state = dict(
         sample=sample0,
         depth=jnp.zeros((n,), jnp.int32),
@@ -274,7 +291,7 @@ def _make_loop(
         path_end = active & ~continuing
         new_sample = jnp.where(path_end, state["sample"] + 1, state["sample"])
         o_cam, d_cam = _camera_ray(
-            prep, lane, jnp.minimum(new_sample, eff_spp - 1), seed, width, height, grid
+            prep, lane, pix, jnp.minimum(new_sample, eff_spp - 1), seed, width, height, grid
         )
         regen = path_end
 
@@ -312,9 +329,9 @@ def _make_loop(
     return state, cond, body
 
 
-def render_lanes(prep, lane, seed, width, height, eff_spp, grid, config, trace_fn=trace):
+def render_lanes(prep, lane, seed, width, height, eff_spp, grid, config, trace_fn=trace, pix=None):
     """Exact engine: loop until every lane finishes all its samples."""
-    state, cond, body = _make_loop(prep, lane, seed, width, height, eff_spp, grid, config, trace_fn)
+    state, cond, body = _make_loop(prep, lane, seed, width, height, eff_spp, grid, config, trace_fn, pix)
     state = jax.lax.while_loop(cond, body, state)
     return state["radiance"], state["iters"]
 
@@ -351,10 +368,32 @@ def render_pass_fast(
     n = width * height
     lane = jnp.arange(n, dtype=jnp.uint32)
     seed = seed_from_key(key)
-    rgb, _ = render_lanes(prep, lane, seed, width, height, eff, grid, config)
+    pix = None
+    from ..ops.geometry import STREAM_THRESHOLD
+
+    if scene.num_spheres > STREAM_THRESHOLD:
+        pix = jnp.asarray(tiled_pixel_order(width, height))
+    rgb, _ = render_lanes(prep, lane, seed, width, height, eff, grid, config, pix=pix)
     rgb = rgb / divisor
+    if pix is not None:
+        rgb = jnp.zeros_like(rgb).at[pix.astype(jnp.int32)].set(rgb)
     img = jnp.concatenate([rgb, jnp.ones((n, 1), jnp.float32)], axis=1)
     return img.reshape(height, width, 4)
+
+
+def tiled_pixel_order(width, height, ts: int = 64):
+    """Lane -> pixel id mapping walking the image in ts x ts screen tiles
+    (host-side, static per resolution). Square tiles give the streaming
+    trace's 4096-lane ray tiles compact frustums, so the per-block AABB
+    cull rejects far more sphere blocks than scanline-strip tiles do."""
+    import numpy as np
+
+    xs, ys = np.meshgrid(np.arange(width), np.arange(height))
+    tiles_x = -(-width // ts)
+    tile_id = (ys // ts) * tiles_x + (xs // ts)
+    within = (ys % ts) * ts + (xs % ts)
+    order = np.argsort((tile_id * (ts * ts) + within).ravel(), kind="stable")
+    return order.astype(np.uint32)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "config"))

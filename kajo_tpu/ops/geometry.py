@@ -419,8 +419,16 @@ def _sphere_tangent(n):
     return safe_normalize(t)
 
 
-def trace(prep: PreparedScene, o: jax.Array, d: jax.Array) -> SurfaceHit:
-    """Nearest hit over all objects; batched equivalent of Raytracer::trace."""
+def trace(prep: PreparedScene, o: jax.Array, d: jax.Array, t_max=None) -> SurfaceHit:
+    """Nearest hit over all objects; batched equivalent of Raytracer::trace.
+
+    ``t_max`` (optional, per ray): a search bound — hits beyond it MAY be
+    reported as misses. Only shadow/visibility queries pass it (the answer
+    is an object-identity compare against something within the bound, so
+    pruning far hits cannot change it); the streaming kernel uses it to
+    seed its nearest-hit and skip sphere blocks beyond the light. The
+    dense/chunked paths ignore it (they return the true nearest, which is
+    also a valid answer)."""
     num_p = prep.plane_nrow.shape[0]
     num_s = prep.sphere_radius2.shape[0]
     if num_p + num_s == 0:  # empty scene: every ray misses
@@ -444,7 +452,7 @@ def trace(prep: PreparedScene, o: jax.Array, d: jax.Array) -> SurfaceHit:
         if use_stream:
             from .pallas.stream_trace import nearest_sphere
 
-            t_sph, sidx_best = nearest_sphere(prep, o, d)
+            t_sph, sidx_best = nearest_sphere(prep, o, d, t_max)
         elif prep.rigid:
             t_sph, sidx_best = _intersect_spheres_rigid_chunked(prep, o, d)
         else:

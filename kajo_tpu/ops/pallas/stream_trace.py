@@ -97,7 +97,11 @@ def _build_kernel(rigid: bool, block: int, fields: int):
 
         @pl.when(s == 0)
         def _():
-            t_ref[...] = jnp.full_like(t_ref, BIG)
+            # per-ray search bound (row 6): hits beyond it can be discarded
+            # (e.g. a shadow query only cares about occluders nearer than
+            # the light) — seeding t_best with it also tightens the block
+            # culling for free
+            t_ref[...] = ray_ref[6]
             idx_ref[...] = jnp.full_like(idx_ref, -1)
 
         o = (ray_ref[0], ray_ref[1], ray_ref[2])
@@ -195,17 +199,17 @@ def _round_up(n, m):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _nearest(rigid: bool, o, d, packed, boxes):
+def _nearest(rigid: bool, o, d, t_max, packed, boxes):
     """(t_world [N], sphere_idx [N]) nearest hit; idx -1 / t BIG on miss.
 
     ``o``/``d`` are [N, 3] with N a multiple of RAY_ROWS*128; ``packed`` is
     [S_pad, F] with S_pad a multiple of the block size (padding rows must be
     unhittable: r2 < 0); ``boxes`` is [S_pad/block, 8] per-block AABBs
     (lo3, hi3, pad2) used only for conservative culling."""
-    return _nearest_fwd_impl(rigid, o, d, packed, boxes)
+    return _nearest_fwd_impl(rigid, o, d, t_max, packed, boxes)
 
 
-def _nearest_fwd_impl(rigid, o, d, packed, boxes):
+def _nearest_fwd_impl(rigid, o, d, t_max, packed, boxes):
     n = o.shape[0]
     block = SPH_BLOCK_RIGID if rigid else SPH_BLOCK_GENERAL
     fields = _F_RIGID if rigid else _F_GENERAL
@@ -215,7 +219,7 @@ def _nearest_fwd_impl(rigid, o, d, packed, boxes):
     n_ray_tiles = rows // RAY_ROWS
     n_sph_blocks = s_pad // block
 
-    rays = jnp.concatenate([o.T, d.T], axis=0).reshape(6, rows, 128)
+    rays = jnp.concatenate([o.T, d.T, t_max[None, :]], axis=0).reshape(7, rows, 128)
     kernel = _build_kernel(rigid, block, fields)
     t, idx = pl.pallas_call(
         kernel,
@@ -225,7 +229,7 @@ def _nearest_fwd_impl(rigid, o, d, packed, boxes):
         ),
         grid=(n_ray_tiles, n_sph_blocks),
         in_specs=[
-            pl.BlockSpec((6, RAY_ROWS, 128), lambda r, s: (0, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((7, RAY_ROWS, 128), lambda r, s: (0, r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block, fields), lambda r, s: (s, 0), memory_space=pltpu.SMEM),
             # (1, 1, 8): Mosaic requires the last two block dims to divide
             # (8, 128) or equal the array dims; the singleton middle dim
@@ -258,8 +262,8 @@ def _t_recompute(rigid, rec, o, d):
     return t
 
 
-def _nearest_fwd(rigid, o, d, packed, boxes):
-    t, idx = _nearest_fwd_impl(rigid, o, d, packed, boxes)
+def _nearest_fwd(rigid, o, d, t_max, packed, boxes):
+    t, idx = _nearest_fwd_impl(rigid, o, d, t_max, packed, boxes)
     return (t, idx), (o, d, packed, boxes, t, idx)
 
 
@@ -275,9 +279,8 @@ def _nearest_bwd(rigid, res, cots):
     gpacked = jax.ops.segment_sum(
         jnp.where(hit[:, None], grec, 0.0), safe, num_segments=packed.shape[0]
     )
-    # boxes only gate the conservative block culling (piecewise constant in
-    # the scene parameters): zero gradient almost everywhere
-    return go, gd, gpacked, jnp.zeros_like(boxes)
+    # boxes/t_max only gate the search (piecewise constant): zero gradient
+    return go, gd, jnp.zeros((o.shape[0],), jnp.float32), gpacked, jnp.zeros_like(boxes)
 
 
 _nearest.defvjp(_nearest_fwd, _nearest_bwd)
@@ -343,7 +346,7 @@ def build_stream_scene(prep):
     return packed, boxes, perm
 
 
-def nearest_sphere(prep, o, d):
+def nearest_sphere(prep, o, d, t_max=None):
     """Streamed nearest-sphere hit for a PreparedScene (rigid or general).
 
     Returns (t_world [N] with inf on miss, sphere_idx [N] with -1 on miss,
@@ -362,8 +365,12 @@ def nearest_sphere(prep, o, d):
     o_p = jnp.pad(o, ((0, n_pad - n), (0, 0)))
     # padding rays get direction 0 -> rigid: q==0 invalid; general: a==0 invalid
     d_p = jnp.pad(d, ((0, n_pad - n), (0, 0)))
+    if t_max is None:
+        tm = jnp.full((n_pad,), BIG, jnp.float32)
+    else:
+        tm = jnp.pad(jnp.minimum(t_max, BIG).astype(jnp.float32), (0, n_pad - n))
 
-    t, idx = _nearest(rigid, o_p, d_p, packed, boxes)
+    t, idx = _nearest(rigid, o_p, d_p, tm, packed, boxes)
     t = t[:n]
     idx = idx[:n]
     # map Morton-sorted winner back to the scene's sphere numbering

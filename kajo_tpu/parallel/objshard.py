@@ -50,8 +50,8 @@ def _round_up(n, m):
 def make_objsharded_trace(num_planes: int, shard: int, axis: str):
     """trace_fn computing the global nearest hit across sphere shards."""
 
-    def trace_fn(prep_local, o, d):
-        h = trace(prep_local, o, d)
+    def trace_fn(prep_local, o, d, t_max=None):
+        h = trace(prep_local, o, d, t_max)
         dev = jax.lax.axis_index(axis)
         gobj = jnp.where(h.obj >= num_planes, h.obj + dev * shard, h.obj)
         t_g = jax.lax.pmin(h.t, axis)
