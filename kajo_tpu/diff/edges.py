@@ -139,9 +139,13 @@ def silhouette_loss_grads(
         l_in = jax.lax.stop_gradient(probe(-1.0))
         l_out = jax.lax.stop_gradient(probe(1.0))
 
-        # cotangent at the edge pixel
+        # cotangent at the edge pixel. Column x covers x_pix in [x, x+1) ->
+        # floor; row y covers y_pix in (y-1, y] (the jitter is SUBTRACTED in
+        # the (H - py) flip, geometry.py generate_rays convention) -> ceil.
+        # Getting the row off by one flips the sign of the y-gradient when
+        # the cotangent changes sign across the rim (an MSE residual does).
         ix = jnp.clip(jnp.floor(xd[..., 0]).astype(jnp.int32), 0, width - 1)
-        iy = jnp.clip(jnp.ceil(xd[..., 1]).astype(jnp.int32) - 1, 0, height - 1)
+        iy = jnp.clip(jnp.ceil(xd[..., 1]).astype(jnp.int32), 0, height - 1)
         cot_e = cot[iy, ix]  # [S, M, 3]
 
         in_image = (

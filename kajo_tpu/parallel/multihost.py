@@ -44,18 +44,20 @@ def initialize(coordinator_address: str | None = None, num_processes: int | None
         pass
 
 
-def render_distributed(scene, width, height, spp, key, passes=1, config=None):
-    """Render across every chip of every host; returns the image on host 0
-    (None elsewhere)."""
+def render_distributed(scene, width, height, spp, key, passes=1, config=None, engine="auto"):
+    """Render across every chip of every host with the fastest supported
+    engine (megakernel/wavefront per device, like the CLI); returns the
+    image on host 0 (None elsewhere)."""
     from ..models.integrator import RenderConfig
-    from .render import make_mesh, render_pass_sharded
+    from .render import make_mesh, render_pass_sharded_engine, select_engine_sharded
 
     config = config or RenderConfig()
     mesh = make_mesh()  # all devices across all hosts
+    engine = select_engine_sharded(scene, engine)
     total = None
     for p in range(passes):
-        img = render_pass_sharded(
-            scene, jax.random.fold_in(key, p), width, height, spp, config, mesh
+        img = render_pass_sharded_engine(
+            engine, scene, jax.random.fold_in(key, p), width, height, spp, config, mesh
         )
         total = img if total is None else total + img
     total = total / passes

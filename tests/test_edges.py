@@ -75,6 +75,29 @@ def test_radius_gradient_matches_fd():
     assert abs(gc[0, 0]) < 0.1 * fd
 
 
+def test_residual_cotangent_y_gradient_sign():
+    """Regression: with an MSE-residual cotangent (sign flips across the
+    rim), a one-row error in the edge-pixel lookup flips the y-gradient —
+    check both position components against FD of the actual MSE loss."""
+    target = render_image(_edge_scene(0.0, 0.0), W, H, 16, jax.random.PRNGKey(7), passes=4, config=CFG)
+    start = _edge_scene(0.5, -0.35)
+    img = render_image(start, W, H, 16, jax.random.PRNGKey(8), passes=4, config=CFG)
+    cot = 2.0 * (img[..., :3] - target[..., :3]) / (W * H * 3)
+    gc, _ = silhouette_loss_grads(start, jax.random.PRNGKey(1), cot, W, H, CFG, n_edge=4096)
+
+    def loss_of(cx, cy):
+        s = _edge_scene(cx, cy)
+        i = render_image(s, W, H, 16, jax.random.PRNGKey(8), passes=4, config=CFG)
+        return float(jnp.mean((i[..., :3] - target[..., :3]) ** 2))
+
+    h = 0.05
+    fdx = (loss_of(0.5 + h, -0.35) - loss_of(0.5 - h, -0.35)) / (2 * h)
+    fdy = (loss_of(0.5, -0.35 + h) - loss_of(0.5, -0.35 - h)) / (2 * h)
+    np.testing.assert_allclose(gc[0, 0], fdx, rtol=0.25)
+    np.testing.assert_allclose(gc[0, 1], fdy, rtol=0.25)
+    assert np.sign(gc[0, 0]) == np.sign(fdx) and np.sign(gc[0, 1]) == np.sign(fdy)
+
+
 def test_interior_autodiff_is_blind_here():
     """Confirms the premise: the budget engine's interior gradient carries no
     position signal for the flat-lit sphere."""
