@@ -41,8 +41,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .megakernel import BIG, safe_sqrt
 
 RAY_ROWS = 32          # rays per tile: RAY_ROWS x 128
-SPH_BLOCK_RIGID = 512  # spheres per streamed SMEM block (8 KB)
-SPH_BLOCK_GENERAL = 256  # 14 KB
+# smaller blocks = tighter AABBs = fewer genuinely-intersected spheres per
+# ray tile; 128 measured ~10% faster than 512 at 100k spheres (grid-step
+# overhead is small next to visited-block compute)
+SPH_BLOCK_RIGID = 128   # spheres per streamed SMEM block (2 KB)
+SPH_BLOCK_GENERAL = 128  # 7 KB
 _F_RIGID = 4
 _F_GENERAL = 14
 
