@@ -172,6 +172,35 @@ def main():
     except Exception:
         pass
 
+    # forward-mode megakernel: primal+tangent of one scene direction per pass
+    # (the few-parameter geometry-gradient path)
+    fwd_tangent_samples_per_s = None
+    try:
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from kajo_tpu.ops.pallas.megakernel import (
+            render_pass_megakernel_jvp,
+            scene_zero_tangent,
+        )
+
+        tan = scene_zero_tangent(jax.tree.map(jnp.asarray, scene))
+        tan = dataclasses.replace(
+            tan, sphere_transform=tan.sphere_transform.at[1, 0, 3].set(1.0)
+        )
+        img_j, dot_j = render_pass_megakernel_jvp(scene, tan, key, W, H, SPP, config)
+        jax.block_until_ready(dot_j)
+        t0 = time.time()
+        for i in range(5):
+            img_j, dot_j = render_pass_megakernel_jvp(
+                scene, tan, jax.random.fold_in(key, 60 + i), W, H, SPP, config
+            )
+        _ = float(np.asarray(dot_j)[0, 0, 0]) + float(np.asarray(img_j)[0, 0, 0])
+        fwd_tangent_samples_per_s = round(5 * samples_per_pass / (time.time() - t0))
+    except Exception:
+        pass
+
     # big-scene scaling row (BASELINE config 5): 100k spheres through the
     # Pallas streaming trace with Morton block culling
     bigscene_samples_per_s = None
@@ -235,6 +264,7 @@ def main():
         "baseline_live": live,
         "grad_samples_per_s": round(grad_samples_per_s),
         "geom_grad_samples_per_s": geom_grad_samples_per_s,
+        "fwd_tangent_samples_per_s": fwd_tangent_samples_per_s,
         "rays_per_s": rays_per_s,
         "caustics_samples_per_s": caustics_rate,
         "bigscene_100k_samples_per_s": bigscene_samples_per_s,
