@@ -59,6 +59,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default=None, help="force a jax platform (e.g. cpu)")
     p.add_argument("--preview", action="store_true", help="live ANSI preview in the terminal")
     p.add_argument("--shard", action="store_true", help="shard rays over all local devices")
+    p.add_argument(
+        "--shard-objects",
+        action="store_true",
+        help="shard the SCENE over devices instead of the rays (each chip "
+        "stores and traces S/n_dev spheres; nearest hits reduced over ICI) — "
+        "for scenes too large to replicate",
+    )
     p.add_argument("--profile", default=None, metavar="DIR", help="capture a jax profiler trace to DIR")
     p.add_argument(
         "--engine",
@@ -163,19 +170,28 @@ def main(argv=None) -> int:
     n_passes = args.passes if args.passes > 0 else 1 << 30
     # dispatch overhead dominates small passes; the megakernel engine batches
     # several passes per device dispatch (preview still updates per batch)
-    batch = 4 if (engine == "mega" and not args.shard) else 1
+    batch = 4 if (engine == "mega" and not args.shard and not args.shard_objects) else 1
     t0 = time.time()
     samples_done = 0
     done = start_pass
     first = True
     last_save_bucket = start_pass // args.save_every if args.save_every else 0
-    n_dev = len(jax.devices()) if args.shard else 1
+    n_dev = len(jax.devices()) if (args.shard or args.shard_objects) else 1
     try:
         p = start_pass
         while p < start_pass + n_passes:
             t_pass = time.time()
             nb = min(batch, start_pass + n_passes - p)
-            if args.shard:
+            if args.shard_objects:
+                from .parallel.objshard import render_pass_fast_objsharded
+                from .parallel.render import make_mesh
+
+                nb = 1
+                pass_img = render_pass_fast_objsharded(
+                    scene, jax.random.fold_in(key, p), args.width,
+                    args.height, args.spp, config, make_mesh(),
+                )
+            elif args.shard:
                 from .parallel.render import make_mesh, render_pass_sharded_engine
 
                 nb = 1

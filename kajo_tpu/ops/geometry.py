@@ -447,23 +447,26 @@ def trace(prep: PreparedScene, o: jax.Array, d: jax.Array, t_max=None) -> Surfac
     use_stream = num_s > STREAM_THRESHOLD and _stream_enabled()
     chunked = use_stream or num_s > BIG_SCENE_THRESHOLD
     if chunked:
-        # big-scene path: planes dense (P is small), spheres streamed in
-        # blocks — Pallas kernel on TPU, XLA scan elsewhere
-        if use_stream:
-            from .pallas.stream_trace import nearest_sphere
-
-            t_sph, sidx_best = nearest_sphere(prep, o, d, t_max)
-        elif prep.rigid:
-            t_sph, sidx_best = _intersect_spheres_rigid_chunked(prep, o, d)
-        else:
-            t_sph, sidx_best = _intersect_spheres_general_chunked(prep, o, d)
+        # big-scene path: planes dense FIRST (P is small) — their nearest hit
+        # seeds the sphere kernel's per-ray search bound, so a ray that hits
+        # the ground early culls every sphere block beyond it — then spheres
+        # streamed in blocks (Pallas kernel on TPU, XLA scan elsewhere)
         if num_p:
             tp, _ = _intersect_planes(prep, o, d)
             pidx = jnp.argmin(tp, axis=1).astype(jnp.int32)
             t_pl = jnp.take_along_axis(tp, pidx[:, None], axis=1)[:, 0]
         else:
-            t_pl = jnp.full_like(t_sph, INF)
-            pidx = jnp.zeros_like(sidx_best)
+            t_pl = jnp.full((o.shape[0],), INF, jnp.float32)
+            pidx = jnp.zeros((o.shape[0],), jnp.int32)
+        bound = t_pl if t_max is None else jnp.minimum(t_pl, t_max)
+        if use_stream:
+            from .pallas.stream_trace import nearest_sphere
+
+            t_sph, sidx_best = nearest_sphere(prep, o, d, bound)
+        elif prep.rigid:
+            t_sph, sidx_best = _intersect_spheres_rigid_chunked(prep, o, d)
+        else:
+            t_sph, sidx_best = _intersect_spheres_general_chunked(prep, o, d)
         # planes scan first: a sphere needs a strictly smaller t to win
         sphere_wins = t_sph < t_pl
         obj = jnp.where(sphere_wins, num_p + sidx_best, pidx)

@@ -90,3 +90,12 @@ def test_help_lists_reference_flags():
     assert r.returncode == 0
     for flag in ("-w", "-h", "-r", "--spp", "--engine", "--full-mis"):
         assert flag in r.stdout
+
+
+def test_shard_objects_flag(tmp_path):
+    out = tmp_path / "so.png"
+    r = run_cli(["-w", "16", "-h", "12", "--spp", "4", "--passes", "1",
+                 "--shard-objects", "-o", str(out),
+                 "/root/reference/data/spheres.json"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists()
