@@ -51,6 +51,13 @@ def build_argparser() -> argparse.ArgumentParser:
         "-r gl implies 0.01)",
     )
     p.add_argument("--exact-spp", action="store_true", help="disable kajo's 25/32 spp quirk")
+    p.add_argument(
+        "--one-light-nee",
+        action="store_true",
+        help="sample ONE uniformly chosen light per vertex (x L) instead of "
+        "every light — unbiased, 1 shadow ray/vertex; big win in many-light "
+        "big scenes (fast engine)",
+    )
     p.add_argument("--no-direct", action="store_true", help="disable NEE (pure BSDF path tracing)")
     p.add_argument("-o", "--out", default="out.png", help="output PNG (out.png)")
     p.add_argument("--save-every", type=int, default=0, help="also save PNG every N passes")
@@ -119,6 +126,7 @@ def main(argv=None) -> int:
         full_mis=args.full_mis,
         kajo_spp_quirk=not args.exact_spp,
         regen_threshold=regen,
+        one_light_nee=args.one_light_nee,
     )
     key = jax.random.PRNGKey(args.seed)
     grid = max(int(args.spp**0.5), 1)

@@ -77,6 +77,13 @@ class RenderConfig:
     # (honored by the fast wavefront and megakernel engines; the parity scan
     # is fixed-depth and ignores it).
     regen_threshold: float = 0.0
+    # NEE light-subset sampling: 0 (default) samples EVERY light per vertex
+    # like the reference (Shader.cpp:55 loop); True samples ONE uniformly
+    # chosen light scaled by L — unbiased (each light's estimator keeps its
+    # exact per-light MIS weight), and cuts the shadow-ray cost from L to 1
+    # per vertex, the dominant trace cost in many-light big scenes. Honored
+    # by the fast wavefront engine; higher per-sample variance.
+    one_light_nee: bool = False
 
 
 def _maxrgb(c):

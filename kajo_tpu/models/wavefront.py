@@ -106,6 +106,47 @@ def _nee3(prep, hit, mat, u_l, m_lambert, m_phong, eps, trace_fn=trace):
     return jnp.sum(weight[..., None] * fcos * prep.light_emission[None, :, :3], axis=1)
 
 
+def _nee3_one_light(prep, hit, mat, u_sel, u3, m_lambert, m_phong, eps, trace_fn):
+    """One-of-L NEE: a uniformly chosen light per lane, scaled by L.
+
+    Unbiased against the reference's all-lights loop (each light's term keeps
+    its exact per-light MIS weight 1/(pdf_b + pdf_l); the uniform selection
+    contributes the factor L), with one shadow trace per vertex instead of L."""
+    num_l = prep.light_obj.shape[0]
+    li = jnp.minimum((u_sel * num_l).astype(jnp.int32), num_l - 1)
+    center = prep.light_center[li]          # [N, 3]
+    radius = prep.light_radius[li]          # [N]
+    lobj = prep.light_obj[li]               # [N]
+    emission = prep.light_emission[li, :3]  # [N, 3]
+
+    pos = hit.position
+    dir_l, pdf_l = lights.sample(u3[0], u3[1], u3[2], center, radius, pos)
+    # shadow bound: the light sample is within dist + radius of the surface
+    dist = jnp.linalg.norm(center - pos, axis=-1)
+    sh = trace_fn(prep, pos + dir_l * eps, dir_l, t_max=dist + radius + 1.0)
+    visible = sh.obj == lobj
+    not_self = hit.obj != lobj
+
+    exp = mat["specular_exponent"]
+    pdf_b = jnp.where(
+        m_lambert,
+        bsdf.lambert_pdf(hit.normal, dir_l),
+        jnp.where(m_phong, bsdf.phong_pdf(hit.view, hit.normal, dir_l, exp), 0.0),
+    )
+    fcos = jnp.where(
+        m_lambert[:, None],
+        bsdf.lambert_eval_cos(mat["diffuse"], hit.normal, dir_l),
+        jnp.where(
+            m_phong[:, None],
+            bsdf.phong_eval_cos(mat["specular"], hit.view, hit.normal, dir_l, exp),
+            0.0,
+        ),
+    )
+    ok = visible & not_self & (pdf_b != 0) & (pdf_l > 0)
+    weight = jnp.where(ok, num_l / (pdf_b + pdf_l), 0.0)
+    return weight[:, None] * fcos * emission
+
+
 def _light_pdf_for_hit3(prep, hit_obj, prev_obj, prev_pos):
     if prep.light_obj.shape[0] == 0:
         return jnp.zeros(hit_obj.shape, jnp.float32)
@@ -174,7 +215,10 @@ def _make_loop(
         rays=jnp.zeros((), jnp.float32),
     )
 
-    ncalls = -(-(5 + 3 * num_lights) // 4)  # uniform4 calls per vertex
+    # uniform4 calls per vertex; one-light NEE needs 4 NEE uniforms
+    # (selector + 3 sample dims) regardless of L
+    n_uni = max(5 + 3 * num_lights, 9 if config.one_light_nee else 0)
+    ncalls = -(-n_uni // 4)
 
     def cond(state):
         return jnp.any(state["sample"] < eff_spp)
@@ -239,8 +283,14 @@ def _make_loop(
 
         # NEE
         if config.direct_lighting and num_lights:
-            u_l = jnp.stack(us[5 : 5 + 3 * num_lights]).reshape(3, num_lights, n).transpose(0, 2, 1)
-            nee = _nee3(prep, hit, mat, u_l, m_lambert, m_phong, eps, trace_fn)
+            if config.one_light_nee and num_lights > 1:
+                nee = _nee3_one_light(
+                    prep, hit, mat, us[5], (us[6], us[7], us[8]),
+                    m_lambert, m_phong, eps, trace_fn,
+                )
+            else:
+                u_l = jnp.stack(us[5 : 5 + 3 * num_lights]).reshape(3, num_lights, n).transpose(0, 2, 1)
+                nee = _nee3(prep, hit, mat, u_l, m_lambert, m_phong, eps, trace_fn)
             r = r + jnp.where(scatter[:, None], t * nee, 0.0)
 
         # continuation

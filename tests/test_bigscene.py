@@ -241,3 +241,28 @@ def test_tiled_lane_render_statistically_equal():
     assert np.isfinite(a).all()
     rel = abs(a[..., :3].mean() - b[..., :3].mean()) / b[..., :3].mean()
     assert rel < 0.05, rel
+
+
+def test_one_light_nee_statistically_equal():
+    """one_light_nee=True: one uniformly chosen light x L == all-lights NEE
+    in expectation (unbiasedness of the light-subset estimator)."""
+    import dataclasses as dc
+
+    import jax
+
+    from kajo_tpu.models.integrator import RenderConfig
+    from kajo_tpu.models.wavefront import render_pass_fast
+
+    scene = random_spheres_scene(120, seed=17, extent=12.0, n_lights=3)
+    cfg_all = RenderConfig(max_depth=2)
+    cfg_one = dc.replace(cfg_all, one_light_nee=True)
+    imgs_a, imgs_o = [], []
+    for i in range(6):
+        k = jax.random.PRNGKey(40 + i)
+        imgs_a.append(np.asarray(render_pass_fast(scene, k, 32, 24, 16, cfg_all)))
+        imgs_o.append(np.asarray(render_pass_fast(scene, k, 32, 24, 16, cfg_one)))
+    a = np.mean(imgs_a, axis=0)[..., :3]
+    o = np.mean(imgs_o, axis=0)[..., :3]
+    assert np.isfinite(o).all()
+    rel = abs(o.mean() - a.mean()) / a.mean()
+    assert rel < 0.03, rel
