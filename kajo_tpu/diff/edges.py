@@ -21,8 +21,9 @@ an occluded edge sees L_in ≈ L_out and contributes nothing), and accumulate
     g(c, r) = Σ_s  [cot·(L_in−L_out)]_s · |dx/dφ|_s · (2π/M) · (n̂_s · x_s)
 
 with everything but x_s detached; jax.grad of g is then the boundary term.
-Shadow (NEE-visibility) edges are not yet sampled — primary silhouettes are
-the dominant term for the config-4 position/radius recovery tasks.
+`shadow_silhouette_grads` applies the same construction to NEE-visibility
+(shadow) edges at primary vertices — the occluder's silhouette seen from the
+shading point is still an analytic circle, this time in *direction* space.
 """
 
 from __future__ import annotations
@@ -35,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.integrator import RenderConfig, render_samples
-from ..ops.geometry import generate_rays, prepare_scene
+from ..ops import bsdf, lights
+from ..ops.geometry import generate_rays, prepare_scene, trace
 from ..scene.types import Scene
 from ..utils.math3d import project
 
@@ -59,7 +61,11 @@ def _edge_points(centers, radii, phi, o_cam):
     e1 = e1 / jnp.linalg.norm(e1, axis=-1, keepdims=True)
     e2 = jnp.cross(a, e1)
     sin_t = radii[:, None] / dist  # [S, 1] sin of the cone half-angle
-    cos_t2 = jnp.maximum(1.0 - sin_t * sin_t, 0.0)
+    # floor, not 0: sqrt(0)'s infinite derivative would NaN-poison the whole
+    # gradient (0·inf) whenever the viewpoint lies ON a sphere (dist == r —
+    # every pixel that hits the occluder itself); those rows are masked to
+    # zero weight, which only kills finite gradients
+    cos_t2 = jnp.maximum(1.0 - sin_t * sin_t, 1e-12)
     ring_c = centers - (radii[:, None] * sin_t) * a  # circle center
     ring_r = radii[:, None] * jnp.sqrt(cos_t2)  # circle radius
     cphi = jnp.cos(phi)[..., None]  # [S, M, 1]
@@ -171,15 +177,197 @@ def silhouette_loss_grads(
     return gc, gr
 
 
+def _edge_points_from(origins, centers, radii, phi):
+    """Silhouette circle of (centers, radii) seen from per-row ``origins``
+    [N, 3] -> [N, M, 3]; smooth in (centers, radii). Generalizes
+    _edge_points (whose origin is the camera) to arbitrary viewpoints —
+    a sphere's silhouette from ANY point is an analytic circle."""
+    a_vec = centers - origins
+    d2 = jnp.sum(a_vec * a_vec, axis=-1, keepdims=True)
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
+    a = a_vec / dist
+    up = jnp.where(
+        (jnp.abs(a[:, 1]) < 0.9)[:, None],
+        jnp.array([0.0, 1.0, 0.0], jnp.float32),
+        jnp.array([1.0, 0.0, 0.0], jnp.float32),
+    )
+    e1 = jnp.cross(a, up)
+    e1 = e1 / jnp.linalg.norm(e1, axis=-1, keepdims=True)
+    e2 = jnp.cross(a, e1)
+    sin_t = radii[:, None] / dist
+    cos_t2 = jnp.maximum(1.0 - sin_t * sin_t, 1e-12)  # see _edge_points
+    ring_c = centers - (radii[:, None] * sin_t) * a
+    ring_r = radii[:, None] * jnp.sqrt(cos_t2)
+    cphi = jnp.cos(phi)[..., None]
+    sphi = jnp.sin(phi)[..., None]
+    return ring_c[:, None, :] + ring_r[:, None, :] * (
+        cphi * e1[:, None, :] + sphi * e2[:, None, :]
+    )
+
+
+def shadow_silhouette_grads(
+    scene: Scene,
+    key: jax.Array,
+    cotangent: jax.Array,
+    width: int,
+    height: int,
+    config: RenderConfig = RenderConfig(),
+    n_edge: int = 4,
+):
+    """NEE-visibility (shadow) boundary gradients at primary vertices.
+
+    For each primary hit p, occluder sphere j and light l, the occluded set
+    of light directions is bounded by j's silhouette circle seen from p.
+    Reynolds over the light's solid angle gives, per edge sample ω(φ):
+
+        d(NEE)/dθ += (V_in − V_out) · K(ω) · (n̂_ω · dω/dθ) · sinα · (2π/M) / Ω_l
+
+    with K the (smooth) NEE integrand (per-branch MIS weight · f·cos · L_e —
+    the branch lotteries' 1/p factors cancel in expectation, so both Lambert
+    and Phong terms are summed), V probed by two rays offset ±δ across the
+    edge (this gates the light cone AND other occluders for free: both sides
+    blocked → ΔV = 0), and everything but ω detached. Covers the "recover
+    the sphere from its shadow" case interior autodiff is blind to; shadow
+    edges at deeper vertices are not sampled (their throughput-weighted
+    contribution is a strict subset of direct light)."""
+    prep = jax.lax.stop_gradient(prepare_scene(scene))
+    num_l = int(prep.light_obj.shape[0])
+    s = int(scene.num_spheres)
+    if num_l == 0 or s == 0:
+        return jnp.zeros((s, 3), jnp.float32), jnp.zeros((s,), jnp.float32)
+    num_p = int(prep.plane_nrow.shape[0])
+    centers0 = jnp.asarray(scene.sphere_transform, jnp.float32)[:, :3, 3]
+    radii0 = jnp.asarray(scene.sphere_radius, jnp.float32)
+    eps = jnp.float32(config.surface_epsilon)
+    delta_ang = jnp.float32(2e-3)
+    m = n_edge
+    two_pi = jnp.float32(2.0 * np.pi)
+
+    # one jittered primary ray per pixel (wavefront _camera_ray convention:
+    # row py's footprint is sy·H ∈ [H−py, H−py+1))
+    k_pix, k_phi = jax.random.split(key)
+    n = width * height
+    u = jax.random.uniform(k_pix, (2, n), dtype=jnp.float32)
+    px = jnp.arange(n, dtype=jnp.float32) % width
+    py = jnp.floor(jnp.arange(n, dtype=jnp.float32) / width)
+    o_cam, d_cam = generate_rays(
+        prep.camera, (px + u[0]) / width, (height - py + u[1]) / height
+    )
+    hit = jax.lax.stop_gradient(trace(prep, o_cam, d_cam))
+    hit_obj = hit.obj
+    mat = jax.tree.map(lambda a: a[jnp.maximum(hit_obj, 0)], prep.materials)
+
+    # flatten (pixel, occluder) pairs: row i*s + j  <->  (pixel i, sphere j)
+    p_r = jnp.repeat(hit.position, s, axis=0)  # [N*S, 3]
+    n_r = jnp.repeat(hit.normal, s, axis=0)
+    v_r = jnp.repeat(hit.view, s, axis=0)
+    hobj_r = jnp.repeat(hit_obj, s)
+    exp_r = jnp.repeat(mat.specular_exponent, s, axis=0)
+    diff_r = jnp.repeat(mat.diffuse, s, axis=0)
+    spec_r = jnp.repeat(mat.specular, s, axis=0)
+    cot_r = jnp.repeat(
+        jnp.asarray(cotangent, jnp.float32)[..., :3].reshape(n, 3), s, axis=0
+    )
+    light_obj = prep.light_obj
+    pdf_l = lights.pdf(
+        prep.light_center[None, :, :], prep.light_radius[None, :], hit.position[:, None, :]
+    )  # [N, L] — direction-independent (Light.cpp:58-62)
+    pl = jnp.repeat(pdf_l, s, axis=0)[:, None, :]  # [N*S, 1, L]
+
+    phi0 = jax.random.uniform(k_phi, (n * s, 1), dtype=jnp.float32) * (two_pi / m)
+    phi = phi0 + (jnp.arange(m, dtype=jnp.float32) * (two_pi / m))[None, :]
+
+    def g_fn(centers, radii):
+        c_r = jnp.tile(centers, (n, 1))  # [N*S, 3]
+        r_r = jnp.tile(radii, (n,))
+        x = _edge_points_from(p_r, c_r, r_r, phi)  # [N*S, M, 3]
+        w_dir = x - p_r[:, None, :]
+        w_len = jnp.sqrt(jnp.maximum(jnp.sum(w_dir * w_dir, -1), 1e-20))
+        omega = w_dir / w_len[..., None]  # the ONLY differentiable quantity
+        om_d = jax.lax.stop_gradient(omega)
+
+        c_d = jax.lax.stop_gradient(c_r)
+        r_d = jax.lax.stop_gradient(r_r)
+        dist = jnp.sqrt(jnp.maximum(jnp.sum((c_d - p_r) ** 2, -1), 1e-20))
+        axis = (c_d - p_r) / dist[:, None]
+        sin_a = jnp.clip(r_d / dist, 0.0, 1.0)  # angular radius of the cone
+
+        # outward normal of the occlusion cone in direction space: the
+        # rejection of −axis onto the tangent plane at ω
+        n_e = om_d * jnp.sum(om_d * axis[:, None, :], -1, keepdims=True) - axis[:, None, :]
+        n_e = n_e / jnp.maximum(jnp.linalg.norm(n_e, axis=-1, keepdims=True), 1e-12)
+
+        # ±δ visibility probes (in = inside the occlusion cone), one trace
+        dirs = jnp.stack([om_d - delta_ang * n_e, om_d + delta_ang * n_e])
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        org = jnp.broadcast_to(p_r[None, :, None, :], dirs.shape)
+        sh = trace(prep, (org + dirs * eps).reshape(-1, 3), dirs.reshape(-1, 3))
+        obj_pr = sh.obj.reshape(2, n * s, m)
+        dv = (obj_pr[0][..., None] == light_obj).astype(jnp.float32) - (
+            obj_pr[1][..., None] == light_obj
+        ).astype(jnp.float32)  # [N*S, M, L] = V_in − V_out
+
+        # K(ω) per light: pdf_l·f·cos·L_e/(pdf_b+pdf_l), via the same bsdf
+        # ops as integrator._nee so the integrand matches by construction
+        nb, vb = n_r[:, None, :], v_r[:, None, :]
+        f_lam = bsdf.lambert_eval_cos(diff_r[:, None, :], nb, om_d)[..., :3]
+        pdf_lam = bsdf.lambert_pdf(nb, om_d)  # [N*S, M]
+        expb = jnp.broadcast_to(exp_r[:, None], pdf_lam.shape)
+        f_ph = bsdf.phong_eval_cos(spec_r[:, None, :], vb, nb, om_d, expb)[..., :3]
+        pdf_ph = bsdf.phong_pdf(vb, nb, om_d, expb)
+
+        def branch(f, pdf_b, gate):
+            den = pdf_b[..., None] + pl  # [N*S, M, L]
+            ok = gate[..., None] & (pl > 0)
+            return jnp.where(
+                ok[..., None],
+                f[:, :, None, :] / jnp.where(den == 0, 1.0, den)[..., None],
+                0.0,
+            )  # [N*S, M, L, 3]
+
+        k_int = branch(f_lam, pdf_lam, pdf_lam != 0) + branch(
+            f_ph, pdf_ph, (expb > 0) & (pdf_ph != 0)
+        )
+        k_int = k_int * prep.light_emission[None, None, :, :3] * pl[..., None]
+
+        sphere_obj = num_p + jnp.arange(s, dtype=jnp.int32)
+        occ_obj = jnp.tile(sphere_obj, n)  # [N*S]
+        valid = (hobj_r >= 0) & (hobj_r != occ_obj) & (dist > r_d)
+        lmask = (occ_obj[:, None] != light_obj[None, :]) & (
+            hobj_r[:, None] != light_obj[None, :]
+        )  # occluder is not the light; shading point is not on the light
+        coeff = jnp.sum(
+            jnp.where(
+                valid[:, None, None] & lmask[:, None, :],
+                dv * jnp.sum(cot_r[:, None, None, :] * k_int, -1),
+                0.0,
+            ),
+            axis=-1,
+        )  # [N*S, M]
+        w_s = jax.lax.stop_gradient(coeff * sin_a[:, None] * (two_pi / m))
+        return jnp.sum(w_s * jnp.sum(n_e * omega, -1))
+
+    gc_flat, gr_flat = jax.grad(g_fn, argnums=(0, 1))(centers0, radii0)
+    return gc_flat, gr_flat
+
+
 def make_silhouette_term(
-    width: int, height: int, config: RenderConfig = RenderConfig(), n_edge: int = 256
+    width: int,
+    height: int,
+    config: RenderConfig = RenderConfig(),
+    n_edge: int = 256,
+    shadow_edges: bool = False,
+    n_shadow_edge: int = 4,
 ):
     """A zero-valued image term whose VJP is the silhouette boundary gradient.
 
     Add it to a differentiable render: ``img = render(scene) +
     silhouette_term(scene, key)`` — the primal is exactly zero, and under
     `jax.grad` the upstream cotangent flows into the boundary integral,
-    completing the interior gradients at visibility discontinuities."""
+    completing the interior gradients at visibility discontinuities.
+    ``shadow_edges=True`` also adds the NEE-visibility boundary term
+    (`shadow_silhouette_grads`, ``n_shadow_edge`` ring samples per pixel per
+    occluder), needed when a sphere must be recovered from its cast shadow."""
 
     @jax.custom_vjp
     def term(scene, key):
@@ -191,6 +379,11 @@ def make_silhouette_term(
     def bwd(res, cot):
         scene, key = res
         gc, gr = silhouette_loss_grads(scene, key, cot, width, height, config, n_edge)
+        if shadow_edges:
+            gc2, gr2 = shadow_silhouette_grads(
+                scene, jax.random.fold_in(key, 1), cot, width, height, config, n_shadow_edge
+            )
+            gc, gr = gc + gc2, gr + gr2
         zero = jax.tree.map(jnp.zeros_like, scene)
         st = zero.sphere_transform
         st = st.at[:, 0, 3].set(gc[:, 0]).at[:, 1, 3].set(gc[:, 1]).at[:, 2, 3].set(gc[:, 2])

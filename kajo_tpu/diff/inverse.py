@@ -132,6 +132,11 @@ class InverseRenderer:
     # changes (interior autodiff is blind at silhouettes). jax engine only.
     edge_gradients: bool = False
     n_edge: int = 256
+    # Also sample NEE-visibility (shadow) edges in the boundary term — needed
+    # when the optimized sphere's signal is its cast shadow (diff/edges.py
+    # shadow_silhouette_grads). Implies edge_gradients semantics.
+    shadow_edges: bool = False
+    n_shadow_edge: int = 4
     # engine="mega-fwd": gradients from the forward-mode megakernel — one
     # fused primal+tangent kernel per optimized scalar per render. Beats the
     # jax budget engine by ~an order of magnitude when few scalars are
@@ -260,10 +265,12 @@ class InverseRenderer:
             def loss_fn(params, key):  # pragma: no cover - replaced by _loss_and_grad
                 raise NotImplementedError
 
-        elif self.edge_gradients:
+        elif self.edge_gradients or self.shadow_edges:
             from .edges import make_silhouette_term
 
-            term = make_silhouette_term(w, h, cfg, self.n_edge)
+            term = make_silhouette_term(
+                w, h, cfg, self.n_edge, self.shadow_edges, self.n_shadow_edge
+            )
             clip = self.loss_clip
 
             def loss_fn(params, key):

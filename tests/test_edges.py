@@ -98,6 +98,118 @@ def test_residual_cotangent_y_gradient_sign():
     assert np.sign(gc[0, 0]) == np.sign(fdx) and np.sign(gc[0, 1]) == np.sign(fdy)
 
 
+def _shadow_scene(ox=2.0, oz=0.0, radius=0.4):
+    """Occluder OUTSIDE the camera frustum casting a shadow on a floor:
+    the image depends on the occluder ONLY through NEE visibility (depth-1
+    render: no bounces, absorbing occluder), the case
+    `shadow_silhouette_grads` exists for. y grows downward (testscene.py
+    convention): floor y=+1, light high above at y=-5."""
+    camera = Camera(
+        transform=math3d.look_at([3.0, -2.0, 0.0], [3.0, 1.0, 0.0], [0, 0, 1]),
+        projection=math3d.perspective(30.0, 1.0, 0.1, 100.0),
+    )
+    planes = [
+        {
+            "transform": math3d.translate(math3d.identity(), [0.0, 1.0, 0.0]),
+            "material": {"diffuse": np.array([0.8, 0.8, 0.8, 1.0], np.float32)},
+        }
+    ]
+    spheres = [
+        {
+            "transform": math3d.translate(math3d.identity(), [ox, -1.0, oz]),
+            "radius": float(radius),
+            "material": {},  # fully absorbing: RR kills any path that hits it
+        },
+        {
+            "transform": math3d.translate(math3d.identity(), [0.0, -5.0, 0.0]),
+            "radius": 0.5,
+            "material": {"emission": np.array([30.0, 30.0, 30.0, 0.0], np.float32)},
+        },
+    ]
+    return make_scene(camera, np.array([0.0, 0.0, 0.0, 1.0], np.float32), planes, spheres)
+
+
+SHADOW_CFG = RenderConfig(max_depth=1)
+
+
+def _shadow_loss(scene, cot, spp=64, passes=6):
+    img = render_image(
+        scene, W, H, spp, jax.random.PRNGKey(0), passes=passes, config=SHADOW_CFG
+    )
+    return float(jnp.sum(cot * img[..., :3]))
+
+
+def test_shadow_position_gradient_matches_fd():
+    from kajo_tpu.diff.edges import shadow_silhouette_grads
+    from kajo_tpu.models.wavefront import render_pass_budget
+
+    cot = _cot_ramp()
+    scene = _shadow_scene()
+    gc, gr = shadow_silhouette_grads(
+        scene, jax.random.PRNGKey(1), cot, W, H, SHADOW_CFG, n_edge=64
+    )
+    h = 0.05
+    fd = (
+        _shadow_loss(_shadow_scene(ox=2.0 + h), cot)
+        - _shadow_loss(_shadow_scene(ox=2.0 - h), cot)
+    ) / (2 * h)
+    assert abs(fd) > 0.3, fd  # the shadow moves: signal exists
+    np.testing.assert_allclose(gc[0, 0], fd, rtol=0.3)
+
+    # interior autodiff really is blind to the occluder here
+    def interior(st):
+        s = dataclasses.replace(jax.tree.map(jnp.asarray, scene), sphere_transform=st)
+        img = render_pass_budget(s, jax.random.PRNGKey(0), W, H, 16, SHADOW_CFG)
+        return jnp.sum(cot * img[..., :3])
+
+    g_int = jax.grad(interior)(jnp.asarray(scene.sphere_transform))
+    assert abs(float(g_int[0, 0, 3])) < 0.1 * abs(fd)
+
+
+def test_shadow_radius_gradient_matches_fd():
+    from kajo_tpu.diff.edges import shadow_silhouette_grads
+
+    cot = jnp.ones((H, W, 3), jnp.float32)
+    scene = _shadow_scene()
+    gc, gr = shadow_silhouette_grads(
+        scene, jax.random.PRNGKey(2), cot, W, H, SHADOW_CFG, n_edge=64
+    )
+    h = 0.03
+    fd = (
+        _shadow_loss(_shadow_scene(radius=0.4 + h), cot)
+        - _shadow_loss(_shadow_scene(radius=0.4 - h), cot)
+    ) / (2 * h)
+    assert fd < -1.0, fd  # growing the occluder darkens the floor
+    np.testing.assert_allclose(gr[0], fd, rtol=0.3)
+
+
+def test_inverse_recovery_from_cast_shadow():
+    """Recover an out-of-frame occluder's position from its cast shadow —
+    only the NEE-visibility boundary term can drive it."""
+    from kajo_tpu.diff.inverse import InverseRenderer
+
+    target = render_image(
+        _shadow_scene(ox=2.0), W, H, 16, jax.random.PRNGKey(7), passes=2, config=SHADOW_CFG
+    )
+    inv = InverseRenderer(
+        _shadow_scene(ox=2.3),
+        target,
+        W,
+        H,
+        spp=16,
+        config=SHADOW_CFG,
+        param_spec=("sphere_transform",),
+        shadow_edges=True,
+        n_shadow_edge=8,
+        n_edge=64,
+        learning_rate=3e-2,
+    )
+    assert inv.engine == "jax"
+    inv.run(25, jax.random.PRNGKey(9))
+    err = abs(float(inv.params["sphere_transform"][0, 0, 3]) - 2.0)
+    assert err < 0.12, err
+
+
 def test_interior_autodiff_is_blind_here():
     """Confirms the premise: the budget engine's interior gradient carries no
     position signal for the flat-lit sphere."""
