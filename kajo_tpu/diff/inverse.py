@@ -5,9 +5,10 @@ transforms/radii, all material fields, camera): `prepare_scene` derives
 inverses/determinants with jnp, samples are reparameterized, and discrete
 branch probabilities are detached inside the integrator (see
 models/integrator.py docstring). Visibility/silhouette discontinuities are
-not edge-sampled yet — gradients are exact for shading/geometry terms and
-biased only at object silhouettes (standard for first-order differentiable
-path tracers).
+edge-sampled on request: ``edge_gradients=True`` adds the primary-silhouette
+boundary term and ``shadow_edges=True`` the NEE-visibility (cast-shadow)
+boundary term (diff/edges.py); without them gradients are exact for
+shading/geometry interior terms and biased only at silhouettes.
 
 This module provides the BASELINE.md config-4 workflow: recover sphere
 position/radius/albedo from a target render by gradient descent, with
@@ -31,10 +32,12 @@ from ..ops.pallas import megakernel, megakernel_grad
 from ..parallel.render import render_pass_sharded
 from ..scene.types import Scene
 
-# Parameters the fused Pallas backward kernel can differentiate
-# (ops/pallas/megakernel_grad.py); geometry and the remaining material fields
-# use the jax budget engine.
+# Parameters the fused Pallas backward kernels can differentiate: material
+# colors via the PRB kernel (ops/pallas/megakernel_grad.py); sphere geometry
+# via the replay kernel (ops/pallas/megakernel_geom.py). The remaining
+# material fields (exponent/IOR/transparency) use the jax budget engine.
 MEGA_DIFF_PARAMS = frozenset({"diffuse", "specular", "emission"})
+MEGA_GEOM_PARAMS = frozenset({"sphere_transform", "sphere_radius"})
 
 # Leaves exposed to the optimizer by default (config 4: position/radius/albedo).
 DEFAULT_PARAM_SPEC = ("sphere_transform", "sphere_radius", "diffuse")
@@ -147,13 +150,20 @@ class InverseRenderer:
 
     def __post_init__(self):
         if self.engine == "auto":
+            from ..ops.pallas import megakernel_geom
+
+            spec = set(self.param_spec)
+            geom = spec & MEGA_GEOM_PARAMS
             self.engine = (
                 "mega"
                 if (
                     jax.default_backend() == "tpu"
                     and self.mesh is None
                     and megakernel_grad.supports(self.scene)
-                    and set(self.param_spec) <= MEGA_DIFF_PARAMS
+                    and spec <= (MEGA_DIFF_PARAMS | MEGA_GEOM_PARAMS)
+                    and (not geom or megakernel_geom.supports(self.scene))
+                    # boundary terms exist only in the jax engine
+                    and not (self.edge_gradients or self.shadow_edges)
                 )
                 else "jax"
             )
@@ -175,7 +185,9 @@ class InverseRenderer:
         target = jnp.asarray(self.target)
 
         if self.engine == "mega":
-            render = megakernel_grad.make_diff_renderer(w, h, spp, cfg)
+            render = megakernel_grad.make_diff_renderer(
+                w, h, spp, cfg, geometry=bool(set(self.param_spec) & MEGA_GEOM_PARAMS)
+            )
 
             clip = self.loss_clip
 

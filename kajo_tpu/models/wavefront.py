@@ -41,6 +41,12 @@ from ..scene.types import Scene
 
 _CAMERA_SALT = jnp.uint32(0x7FFFFFFF)
 
+# Keep the wavefront sorted by (ray-origin Morton cell, direction octant)
+# every iteration on big (streaming-trace) scenes, so bounce/NEE ray tiles
+# stay spatially coherent for the per-block AABB cull. None = auto (on when
+# the scene uses the streaming trace); True/False = override for A/B runs.
+REORDER_WAVEFRONT: bool | None = None
+
 
 def _maxrgb(c):
     return jnp.max(c, axis=-1)
@@ -169,15 +175,37 @@ def _make_loop(
     config: RenderConfig,
     trace_fn=trace,
     pix=None,
+    reorder: bool = False,
 ):
     """Build (init_state, cond, body) for the regenerating wavefront.
 
     Radiance is split into ``radiance`` (completed samples only — folded in
     at path end) and ``r_cur`` (the in-flight sample), so a truncated run
-    can discard partial samples and stay unbiased per completed sample."""
+    can discard partial samples and stay unbiased per completed sample.
+
+    ``reorder=True`` (big scenes): at the end of every iteration the whole
+    per-lane state — lane ids and pixel assignment ride along — is permuted
+    by (ray-origin Morton cell, direction octant). Bounce and NEE rays are
+    spatially scattered across lanes after the first vertex, which defeats
+    the streaming trace's per-ray-tile block culling; keeping the wavefront
+    sorted restores it with ONE argsort per iteration, amortized over every
+    trace call in the body (path + shadow rays share the lane origins).
+    A pure permutation: per-lane PCG4D streams are keyed by the carried lane
+    id, so the estimator is bit-identical — only the lane order (and the
+    final scatter by ``pix``) changes."""
     n = lane.shape[0]
     if pix is None:
         pix = lane
+    if reorder:
+        from ..ops.pallas.stream_trace import ray_sort_perm
+
+        if prep.stream_boxes is not None:
+            boxes2 = prep.stream_boxes[:, 0, :]
+            sort_lo = jnp.min(boxes2[:, 0:3], axis=0)
+            sort_hi = jnp.max(boxes2[:, 3:6], axis=0)
+        else:
+            sort_lo = jnp.min(prep.sphere_center, axis=0)
+            sort_hi = jnp.max(prep.sphere_center, axis=0)
     num_lights = prep.light_obj.shape[0]
     eps = jnp.float32(config.surface_epsilon)
     mat3 = {
@@ -214,6 +242,11 @@ def _make_loop(
         # must not keep counting (VERDICT r1 weak #7)
         rays=jnp.zeros((), jnp.float32),
     )
+    if reorder:
+        state["lane"] = lane
+        state["pix"] = jnp.asarray(pix, jnp.uint32)
+        # original row position, so render_lanes can un-permute the result
+        state["row"] = jnp.arange(n, dtype=jnp.uint32)
 
     # uniform4 calls per vertex; one-light NEE needs 4 NEE uniforms
     # (selector + 3 sample dims) regardless of L
@@ -224,13 +257,15 @@ def _make_loop(
         return jnp.any(state["sample"] < eff_spp)
 
     def body(state):
+        lane_b = state["lane"] if reorder else lane
+        pix_b = state["pix"] if reorder else pix
         active = state["sample"] < eff_spp
         sample_u = state["sample"].astype(jnp.uint32)
         depth = state["depth"]
         salt0 = depth.astype(jnp.uint32) * jnp.uint32(ncalls)
         us = []
         for i in range(ncalls):
-            us.extend(uniforms4(lane, sample_u, salt0 + jnp.uint32(i), seed))
+            us.extend(uniforms4(lane_b, sample_u, salt0 + jnp.uint32(i), seed))
         # us[0]=rr, us[1]=transparency coin, us[2]=diffuse coin,
         # us[3], us[4]=bsdf sample, us[5:5+3L]=NEE
 
@@ -341,7 +376,7 @@ def _make_loop(
         path_end = active & ~continuing
         new_sample = jnp.where(path_end, state["sample"] + 1, state["sample"])
         o_cam, d_cam = _camera_ray(
-            prep, lane, pix, jnp.minimum(new_sample, eff_spp - 1), seed, width, height, grid
+            prep, lane_b, pix_b, jnp.minimum(new_sample, eff_spp - 1), seed, width, height, grid
         )
         regen = path_end
 
@@ -351,7 +386,7 @@ def _make_loop(
         new_dir = jnp.where(
             continuing[:, None], new_d, jnp.where(regen[:, None], d_cam, state["d"])
         )
-        return dict(
+        new_state = dict(
             sample=new_sample,
             depth=jnp.where(path_end, 0, depth + 1),
             o=new_o,
@@ -375,15 +410,35 @@ def _make_loop(
             + jnp.sum(active.astype(jnp.float32))
             + jnp.sum(scatter.astype(jnp.float32)) * num_lights,
         )
+        if reorder:
+            new_state["lane"] = lane_b
+            new_state["pix"] = pix_b
+            new_state["row"] = state["row"]
+            perm = ray_sort_perm(new_o, new_dir, sort_lo, sort_hi)
+            new_state = {
+                k: (v[perm] if v.ndim >= 1 else v) for k, v in new_state.items()
+            }
+        return new_state
 
     return state, cond, body
 
 
-def render_lanes(prep, lane, seed, width, height, eff_spp, grid, config, trace_fn=trace, pix=None):
-    """Exact engine: loop until every lane finishes all its samples."""
-    state, cond, body = _make_loop(prep, lane, seed, width, height, eff_spp, grid, config, trace_fn, pix)
+def render_lanes(
+    prep, lane, seed, width, height, eff_spp, grid, config, trace_fn=trace, pix=None, reorder=False
+):
+    """Exact engine: loop until every lane finishes all its samples.
+
+    ``reorder=True`` keeps the wavefront sorted by ray coherence each
+    iteration (see ``_make_loop``); the result is un-permuted back to the
+    caller's lane order, so it is bit-identical to ``reorder=False``."""
+    state, cond, body = _make_loop(
+        prep, lane, seed, width, height, eff_spp, grid, config, trace_fn, pix, reorder=reorder
+    )
     state = jax.lax.while_loop(cond, body, state)
-    return state["radiance"], state["iters"]
+    rad = state["radiance"]
+    if reorder:
+        rad = jnp.zeros_like(rad).at[state["row"].astype(jnp.int32)].set(rad)
+    return rad, state["iters"]
 
 
 def render_lanes_budget(prep, lane, seed, width, height, eff_spp, grid, config, n_iters):
@@ -421,9 +476,13 @@ def render_pass_fast(
     pix = None
     from ..ops.geometry import STREAM_THRESHOLD
 
-    if scene.num_spheres > STREAM_THRESHOLD:
+    streaming = scene.num_spheres > STREAM_THRESHOLD
+    if streaming:
         pix = jnp.asarray(tiled_pixel_order(width, height))
-    rgb, _ = render_lanes(prep, lane, seed, width, height, eff, grid, config, pix=pix)
+    reorder = streaming if REORDER_WAVEFRONT is None else REORDER_WAVEFRONT
+    rgb, _ = render_lanes(
+        prep, lane, seed, width, height, eff, grid, config, pix=pix, reorder=reorder
+    )
     rgb = rgb / divisor
     if pix is not None:
         rgb = jnp.zeros_like(rgb).at[pix.astype(jnp.int32)].set(rgb)

@@ -273,6 +273,10 @@ STREAM_THRESHOLD = 1024
 # tests force the streaming path on the CPU interpreter: None = auto
 # (TPU backend only), True/False = override
 FORCE_STREAM: bool | None = None
+# Sort rays by (origin Morton cell, direction octant) before the streaming
+# kernel so ray tiles stay coherent for bounce/NEE rays (stream_trace.py
+# ray_sort_perm). Bit-identical results; flag exists for A/B benchmarking.
+SORT_STREAM_RAYS: bool = True
 
 
 def _stream_enabled() -> bool:
@@ -460,9 +464,27 @@ def trace(prep: PreparedScene, o: jax.Array, d: jax.Array, t_max=None) -> Surfac
             pidx = jnp.zeros((o.shape[0],), jnp.int32)
         bound = t_pl if t_max is None else jnp.minimum(t_pl, t_max)
         if use_stream:
-            from .pallas.stream_trace import nearest_sphere
+            from .pallas.stream_trace import nearest_sphere, ray_sort_perm
 
-            t_sph, sidx_best = nearest_sphere(prep, o, d, bound)
+            if SORT_STREAM_RAYS and prep.stream_boxes is not None:
+                # group rays by (origin cell, direction octant) so each kernel
+                # ray tile is spatially coherent — bounce/NEE rays are lane-
+                # scattered and would otherwise defeat the per-tile block cull.
+                # Pure permutation: results (and gradients, via the gathers)
+                # are bit-identical to the unsorted call.
+                boxes2 = prep.stream_boxes[:, 0, :]
+                blo = jnp.min(boxes2[:, 0:3], axis=0)
+                bhi = jnp.max(boxes2[:, 3:6], axis=0)
+                perm_r = ray_sort_perm(o, d, blo, bhi)
+                t_s, i_s = nearest_sphere(
+                    prep, o[perm_r], d[perm_r], bound[perm_r]
+                )
+                inv_r = jnp.zeros_like(perm_r).at[perm_r].set(
+                    jnp.arange(perm_r.shape[0])
+                )
+                t_sph, sidx_best = t_s[inv_r], i_s[inv_r]
+            else:
+                t_sph, sidx_best = nearest_sphere(prep, o, d, bound)
         elif prep.rigid:
             t_sph, sidx_best = _intersect_spheres_rigid_chunked(prep, o, d)
         else:

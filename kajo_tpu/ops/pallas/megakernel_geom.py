@@ -1,0 +1,755 @@
+"""Fused reverse-mode GEOMETRY gradients: per-sphere replay with one-hot jvp.
+
+Completes the fused-backward story (VERDICT round-1 item 4, second half):
+gradients of the rendered image w.r.t. EVERY sphere's center and radius from
+one self-contained kernel — the many-parameter geometry case (e.g. all
+sphere positions of a field) that the forward-mode kernel
+(megakernel.render_pass_megakernel_jvp, one kernel per scalar) cannot cover
+and the jax budget engine covers only at ~1M samples/s.
+
+Reverse-mode through the path-tracing loop is impossible directly (the
+regenerating walk is a `while_loop`; taping it would need O(depth) VMEM per
+lane), and the Path Replay trick used for materials (megakernel_grad.py)
+relies on radiance being *linear* in the parameter — false for geometry.
+The key observation here: a path's radiance depends on the geometry of only
+the handful of DISTINCT spheres the path hits (visibility is discrete ==
+detached, exactly like the jax engines' interior gradient; boundary terms
+live in diff/edges.py). So reverse-mode over 100k parameters collapses to a
+few forward-mode directions per path:
+
+  phase 0   walk the sample once, recording the distinct spheres it hits
+            (up to ``TRACK_SLOTS``);
+  replay    for each recorded sphere j and each direction p in (cx, cy, cz,
+            r^2): walk the SAME path again (same PCG4D stream, bit-identical
+            branch decisions) with a per-lane one-hot tangent injected at
+            every read of sphere j's record — `jax.jvp` inside the kernel
+            threads d(hit t)/dθ, d(normal)/dθ, sampled directions, pdfs, MIS
+            weights and NEE factors through the walk; at walk end the scalar
+            dΣ(g·L)/dθ_jp is flushed into a VMEM [S, 128] table row j.
+
+Because the tangent enters ONLY through the explicit `(i == j)·δ` term (the
+SMEM scene reads stay primal constants), the fori-loop object scan works
+unmodified — this kernel scales to MAX_KERNEL_OBJECTS (512), unlike the
+forward-mode kernel's unrolled-only restriction.
+
+Semantics scope (== the jax budget engine's interior gradient, validated in
+tests/test_megakernel_geom.py):
+  * sphere-as-OBJECT geometry: hit distance + normal derivatives, with the
+    discrete branch probabilities and visibility detached — matches
+    jax.grad of models/wavefront.render_pass_budget for rigid scenes;
+  * sphere-as-LIGHT geometry (NEE sample position / solid-angle pdf as a
+    function of the light's center/radius) is NOT differentiated — lights
+    are optimization targets far more rarely than the lit geometry; use the
+    budget engine or the forward-mode kernel for those few scalars.
+  * paths touching more than TRACK_SLOTS distinct spheres drop the extras'
+    contributions (depth > 4 paths through 5+ distinct spheres are a
+    vanishing fraction of transport in kajo scenes).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models.integrator import RenderConfig
+from ...ops.geometry import prepare_scene
+from ...ops.rng import seed_from_key
+from ...scene.types import Scene
+from .megakernel import (
+    BIG,
+    FLT_EPSILON,
+    MAX_KERNEL_OBJECTS,
+    PI,
+    TILE_ROWS,
+    UNROLL_OBJECTS,
+    _LI,
+    _MA,
+    _PL,
+    _SP,
+    _pack_scene,
+    _uniforms4,
+    reflect,
+    safe_pow,
+    safe_sqrt,
+    vadd,
+    vcross,
+    vdot,
+    vfull,
+    vmul,
+    vnormalize,
+    vscale,
+    vsub,
+    vwhere,
+)
+
+TRACK_SLOTS = 4  # distinct spheres tracked per path (== replay fan-out cap)
+
+
+def supports(scene: Scene) -> bool:
+    from .megakernel import supports as fwd_supports
+
+    return bool(fwd_supports(scene) and scene.num_spheres > 0)
+
+
+def _build_geom_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L):
+    K = P + S
+    max_depth = config.max_depth
+    eps = np.float32(config.surface_epsilon)
+    emit_after_scatter = bool((not config.direct_lighting) or config.full_mis)
+    nee_on = bool(config.direct_lighting and L > 0)
+    ncalls = -(-(5 + 3 * L) // 4)
+    CAM_SALT = np.uint32(0x7FFFFFFF)
+    off_planes = 0
+    off_spheres = off_planes + P * _PL
+    off_mats = off_spheres + S * _SP
+    off_lights = off_mats + K * _MA
+    off_bg = off_lights + L * _LI
+    off_cam = off_bg + 3
+    fgrid = np.float32(grid_n)
+    fw = np.float32(width)
+    fh = np.float32(height)
+
+    def kernel(seed_ref, scn_ref, g_ref, out_ref, acc_ref):
+        def s_(i):
+            return scn_ref[0, i]
+
+        seed = seed_ref[0, 0]
+        origin0 = (s_(off_cam), s_(off_cam + 1), s_(off_cam + 2))
+        p1 = (s_(off_cam + 3), s_(off_cam + 4), s_(off_cam + 5))
+        du = (s_(off_cam + 6), s_(off_cam + 7), s_(off_cam + 8))
+        dv = (s_(off_cam + 9), s_(off_cam + 10), s_(off_cam + 11))
+        bg = (s_(off_bg), s_(off_bg + 1), s_(off_bg + 2))
+
+        tile = pl.program_id(0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 1)
+        lane_i = (tile * TILE_ROWS + rows) * 128 + cols
+        lane = lane_i.astype(jnp.uint32)
+        in_image = lane_i < width * height
+        px = (lane_i % width).astype(jnp.float32)
+        py = (lane_i // width).astype(jnp.float32)
+        zf = px * 0.0
+        zi = lane_i * 0
+        g3 = (g_ref[0], g_ref[1], g_ref[2])
+
+        def plane_rec(i):
+            b = off_planes + i * _PL
+            return [s_(b + j) for j in range(_PL)]
+
+        def mat_rec(i):
+            b = off_mats + i * _MA
+            return [s_(b + j) for j in range(_MA)]
+
+        def light_rec(i):
+            b = off_lights + i * _LI
+            return [s_(b + j) for j in range(_LI)]
+
+        def camera_ray(sample):
+            su = sample.astype(jnp.uint32)
+            gx = (sample % grid_n).astype(jnp.float32)
+            gy = (sample // grid_n).astype(jnp.float32)
+            u1, u2, _, _ = _uniforms4(lane, su, CAM_SALT, seed)
+            sx = (px + (gx + u1) / fgrid) / fw
+            sy = ((fh - py) + (gy + u2) / fgrid) / fh
+            d = vnormalize(
+                vsub(
+                    vadd(vfull(p1, zf), vadd(vscale(vfull(du, zf), sx), vscale(vfull(dv, zf), sy))),
+                    vfull(origin0, zf),
+                )
+            )
+            return vfull(origin0, zf), d
+
+        def tangent_frame(n):
+            smallest = jnp.minimum(n[2], jnp.minimum(n[0], n[1]))
+            mx = n[0] == smallest
+            my = n[1] == smallest
+            t = vwhere(mx, (zf, -n[2], n[1]), vwhere(my, (-n[2], zf, n[0]), (-n[1], n[0], zf)))
+            up = vwhere(jnp.abs(n[1]) < 0.9, vfull((0.0, 1.0, 0.0), zf), vfull((1.0, 0.0, 0.0), zf))
+            t = vwhere(vdot(t, t) < 1e-12, vcross(n, up), t)
+            t = vnormalize(t)
+            return t, vcross(n, t)
+
+        def gather_mat(obj):
+            if K <= UNROLL_OBJECTS + 8:
+                fields = [zf] * _MA
+                for k in range(K):
+                    rec = mat_rec(k)
+                    m = (obj == k).astype(jnp.float32)
+                    for f in range(_MA):
+                        fields[f] = fields[f] + m * rec[f]
+                return fields
+
+            def mat_step(k, fields):
+                base = off_mats + k * _MA
+                m = (obj == k).astype(jnp.float32)
+                return tuple(fields[f] + m * scn_ref[0, base + f] for f in range(_MA))
+
+            return list(jax.lax.fori_loop(0, K, mat_step, tuple([zf] * _MA)))
+
+        def solid_angle(dist, rad):
+            x = jnp.clip(rad / jnp.maximum(dist, 1e-30), 0.0, 1.0)
+            omega = 2.0 * PI * (1.0 - safe_sqrt(1.0 - x * x))
+            return jnp.where(dist < rad, 4.0 * PI, omega)
+
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def acc_row_add(row, cols_, scalars):
+            delta = jnp.zeros((1, 128), jnp.float32)
+            for c, sc in zip(cols_, scalars):
+                delta = delta + sc * (col_iota == c).astype(jnp.float32)
+            acc_ref[pl.ds(row, 1), :] = acc_ref[pl.ds(row, 1), :] + delta
+
+        def init_state():
+            sample = jnp.where(in_image, 0, eff)
+            o, d = camera_ray(sample * 0)
+            one = zf + 1.0
+            neg1 = zi - 1
+            return (
+                sample,
+                neg1,                    # slot: -1 = discovery walk
+                zi,                      # dirp
+                zi,                      # depth
+                neg1, neg1, neg1, neg1,  # slots 0..3 (touched sphere ids)
+                neg1,                    # jsel (selected sphere this walk)
+                zi + 1, zi,              # emit, mis_pending
+                zi,                      # pend_delta
+                neg1,                    # prev_obj
+                # primal continuous state
+                o[0], o[1], o[2], d[0], d[1], d[2],
+                one, one, one,           # throughput
+                zf, zf, zf,              # prev_pos q
+                one, one, one,           # pend_fcos
+                one,                     # pend_pdf_b
+                # tangent partners (same order: o, d, t3, q, pf, ppdf)
+                zf, zf, zf, zf, zf, zf,
+                zf, zf, zf,
+                zf, zf, zf,
+                zf, zf, zf,
+                zf,
+                zf,                      # dL_dot (g-weighted tangent so far)
+            )
+
+        def cond(st):
+            return jnp.any(st[0] < eff)
+
+        def body(st):
+            (sample, slot, dirp, depth, s0, s1, s2, s3, jsel,
+             emit_f, misp_f, pdelta_f, prev_obj,
+             ox, oy, oz, dx, dy, dz, tr, tg, tb, qx, qy, qz,
+             pfr, pfg, pfb, ppdf,
+             dox, doy, doz, ddx, ddy, ddz, dtr, dtg, dtb,
+             dqx, dqy, dqz, dpfr, dpfg, dpfb, dppdf,
+             dL) = st
+
+            active = sample < eff
+            su = sample.astype(jnp.uint32)
+            salt0 = depth.astype(jnp.uint32) * jnp.uint32(ncalls)
+            us = []
+            for i in range(ncalls):
+                us.extend(_uniforms4(lane, su, salt0 + jnp.uint32(i), seed))
+
+            # ---- one path step as a pure function of the continuous state
+            # plus the selected sphere's 4-scalar perturbation delta (primal
+            # 0, tangent one-hot) — jax.jvp threads the geometry derivative
+            # through trace, NEE, sampling, pdfs and the deferred MIS weight.
+            def step(o0, o1_, o2_, d0, d1_, d2_, t0, t1_, t2_,
+                     q0, q1_, q2_, pf0, pf1, pf2, ppdf_, de0, de1, de2, de3):
+                o = (o0, o1_, o2_)
+                d = (d0, d1_, d2_)
+                t3 = (t0, t1_, t2_)
+                delta = (de0, de1, de2, de3)
+
+                def trace(o, d, perturb):
+                    t_best = zf + BIG
+                    obj_best = zi - 1
+                    n_best = (zf, zf, zf)
+                    for i in range(P):
+                        r = plane_rec(i)
+                        denom = d[0] * r[0] + d[1] * r[1] + d[2] * r[2]
+                        onum = o[0] * r[0] + o[1] * r[1] + o[2] * r[2] + r[3]
+                        t_loc = -onum / jnp.where(denom == 0, 1.0, denom)
+                        t = t_loc * r[4]
+                        valid = (jnp.abs(denom) >= FLT_EPSILON) & (t_loc >= 0) & (t >= 0) & (t < t_best)
+                        t_best = jnp.where(valid, t, t_best)
+                        obj_best = jnp.where(valid, i, obj_best)
+                        n_best = vwhere(valid, vfull((r[5], r[6], r[7]), zf), n_best)
+                    d_dot_o = vdot(d, o)
+                    o2 = vdot(o, o)
+
+                    def sphere_hit(i, cx, cy, cz, r2, carry):
+                        t_best, obj_best, n0, n1, n2 = carry
+                        if perturb:
+                            selm = (jsel == i).astype(jnp.float32)
+                            cx = cx + selm * delta[0]
+                            cy = cy + selm * delta[1]
+                            cz = cz + selm * delta[2]
+                            r2 = r2 + selm * delta[3]
+                        d_dot_c = d[0] * cx + d[1] * cy + d[2] * cz
+                        o_dot_c = o[0] * cx + o[1] * cy + o[2] * cz
+                        b = 2.0 * (d_dot_o - d_dot_c)
+                        cq = o2 - 2.0 * o_dot_c + (cx * cx + cy * cy + cz * cz - r2)
+                        discr = b * b - 4.0 * cq
+                        sq = safe_sqrt(discr)
+                        q = jnp.where(b < 0, (-b - sq) * 0.5, (-b + sq) * 0.5)
+                        t1 = cq / jnp.where(q == 0, 1.0, q)
+                        lo = jnp.minimum(q, t1)
+                        hi = jnp.maximum(q, t1)
+                        t = jnp.where(lo < 0, hi, lo)
+                        valid = (discr >= 0) & (hi >= 0) & (q != 0) & (t >= 0) & (t < t_best)
+                        n_new = vnormalize(vsub(vadd(o, vscale(d, t)), (cx, cy, cz)))
+                        return (
+                            jnp.where(valid, t, t_best),
+                            jnp.where(valid, P + i, obj_best),
+                            jnp.where(valid, n_new[0], n0),
+                            jnp.where(valid, n_new[1], n1),
+                            jnp.where(valid, n_new[2], n2),
+                        )
+
+                    if S <= UNROLL_OBJECTS:
+                        carry = (t_best, obj_best, *n_best)
+                        for i in range(S):
+                            b_ = off_spheres + i * _SP
+                            carry = sphere_hit(
+                                i, s_(b_), s_(b_ + 1), s_(b_ + 2), s_(b_ + 3), carry
+                            )
+                        t_best, obj_best, n0, n1, n2 = carry
+                    else:
+
+                        def sphere_step(i, carry):
+                            b_ = off_spheres + i * _SP
+                            return sphere_hit(
+                                i,
+                                scn_ref[0, b_],
+                                scn_ref[0, b_ + 1],
+                                scn_ref[0, b_ + 2],
+                                scn_ref[0, b_ + 3],
+                                carry,
+                            )
+
+                        t_best, obj_best, n0, n1, n2 = jax.lax.fori_loop(
+                            0, S, sphere_step, (t_best, obj_best, *n_best)
+                        )
+                    return t_best, obj_best, (n0, n1, n2)
+
+                t_hit, obj, normal = trace(o, d, True)
+                was_hit = obj >= 0
+                pos_hit = vadd(o, vscale(d, jnp.where(was_hit, t_hit, 0.0)))
+
+                # deferred MIS weight (tangent via prev_pos q and ppdf)
+                q3_ = (q0, q1_, q2_)
+                if L:
+                    pdf_l_vis = zf
+                    for li in range(L):
+                        r = light_rec(li)
+                        delta_l = vsub(vfull((r[0], r[1], r[2]), zf), q3_)
+                        dist_l = safe_sqrt(vdot(delta_l, delta_l))
+                        obj_id = jnp.int32(0) + r[7].astype(jnp.int32)
+                        okl = (obj == obj_id) & (prev_obj != obj_id)
+                        pdf_l_vis = pdf_l_vis + jnp.where(
+                            okl, 1.0 / solid_angle(dist_l, r[3]), 0.0
+                        )
+                else:
+                    pdf_l_vis = zf
+                if config.full_mis:
+                    pdf_l_vis = jnp.where(pdelta_f > 0, 0.0, pdf_l_vis)
+                denom = pdf_l_vis + ppdf_
+                w = 1.0 / jnp.where(denom == 0, 1.0, denom)
+                apply_w = (misp_f > 0) & active
+                t3 = vwhere(apply_w, vmul(t3, vscale((pf0, pf1, pf2), w)), t3)
+
+                contrib = (zf, zf, zf)
+                miss = active & ~was_hit
+                contrib = vwhere(miss, vmul(t3, vfull(bg, zf)), contrib)
+                on_path = active & was_hit
+
+                mats = gather_mat(jnp.maximum(obj, 0))
+                md = (mats[0], mats[1], mats[2])
+                ms = (mats[3], mats[4], mats[5])
+                me = (mats[6], mats[7], mats[8])
+                mt = (mats[9], mats[10], mats[11])
+                mexp = mats[12]
+                mior = mats[13]
+
+                p_rr = jnp.maximum(
+                    jnp.maximum(jnp.maximum(md[0], ms[0]), jnp.maximum(md[1], ms[1])),
+                    jnp.maximum(
+                        jnp.maximum(md[2], ms[2]),
+                        jnp.maximum(jnp.maximum(mt[0], mt[1]), mt[2]),
+                    ),
+                )
+                cont = (p_rr > 0) & (us[0] <= p_rr)
+                prob_rr = jnp.where(cont, p_rr, 1.0 - p_rr)
+                t3 = vwhere(on_path, vscale(t3, 1.0 / prob_rr), t3)
+                tk = t3
+                emitter = on_path & (emit_f > 0)
+                survive = on_path & cont & (depth < max_depth)
+
+                sum_d = md[0] + md[1] + md[2]
+                sum_s = ms[0] + ms[1] + ms[2]
+                sum_t = mt[0] + mt[1] + mt[2]
+                total = sum_d + sum_s + sum_t
+                p_t = jnp.where(total > 0, sum_t / jnp.where(total == 0, 1.0, total), 0.0)
+                transmit = (p_t > 0) & (us[1] <= p_t)
+                prob_t = jnp.where(transmit, p_t, 1.0 - p_t)
+                t3 = vwhere(survive, vscale(t3, 1.0 / prob_t), t3)
+                dsum = sum_d + sum_s
+                p_d = jnp.where(dsum > 0, sum_d / jnp.where(dsum == 0, 1.0, dsum), 0.0)
+                diffc = (p_d > 0) & (us[2] <= p_d)
+                prob_d = jnp.where(diffc, p_d, 1.0 - p_d)
+                t3 = vwhere(survive & ~transmit, vscale(t3, 1.0 / prob_d), t3)
+
+                m_trans = survive & transmit
+                m_lam = survive & ~transmit & diffc
+                m_ph = survive & ~transmit & ~diffc & (mexp > 0)
+                m_mir = survive & ~transmit & ~diffc & (mexp <= 0)
+                scatter = m_lam | m_ph | m_mir
+
+                view = d
+                tangent, binormal = tangent_frame(normal)
+                refl = reflect(view, normal)
+
+                if nee_on:
+                    nee = (zf, zf, zf)
+                    for li in range(L):
+                        r = light_rec(li)
+                        u1 = us[5 + 3 * li]
+                        u2 = us[6 + 3 * li]
+                        u3 = us[7 + 3 * li]
+                        rad = r[3]
+                        sx_ = rad * jnp.sqrt(u1) * jnp.cos(2.0 * PI * u2)
+                        sy_ = rad * jnp.sqrt(u1) * jnp.sin(2.0 * PI * u2)
+                        sz_ = safe_sqrt(rad * rad - sx_ * sx_ - sy_ * sy_) * jnp.sin(
+                            PI * (u3 - 0.5)
+                        )
+                        c = vfull((r[0], r[1], r[2]), zf)
+                        dl = vnormalize(vsub(vadd(c, (sx_, sy_, sz_)), pos_hit))
+                        delta_l = vsub(c, pos_hit)
+                        dist = safe_sqrt(vdot(delta_l, delta_l))
+                        pdf_l = 1.0 / solid_angle(dist, rad)
+                        # visibility is discrete (detached in the interior
+                        # gradient): trace primal-only on detached inputs —
+                        # jvp emits no tangent ops for it
+                        _, st_obj, _ = trace(
+                            jax.lax.stop_gradient(vadd(pos_hit, vscale(dl, eps))),
+                            jax.lax.stop_gradient(dl),
+                            False,
+                        )
+                        obj_id = jnp.int32(0) + r[7].astype(jnp.int32)
+                        visible = st_obj == obj_id
+                        not_self = obj != obj_id
+                        cosl = vdot(normal, dl)
+                        lobe_l = (mexp + 1.0) / (2.0 * PI) * safe_pow(
+                            jnp.maximum(vdot(refl, dl), 0.0), mexp
+                        )
+                        pdf_b_l = jnp.where(m_lam, cosl / PI, jnp.where(m_ph, lobe_l, 0.0))
+                        fcos_l = vwhere(
+                            m_lam,
+                            vscale(md, jnp.maximum(cosl, 0.0) / PI),
+                            vwhere(
+                                m_ph,
+                                vscale(ms, lobe_l * jnp.maximum(cosl, 0.0)),
+                                (zf, zf, zf),
+                            ),
+                        )
+                        ok = visible & not_self & (pdf_b_l != 0) & (pdf_l > 0)
+                        wl = jnp.where(ok, 1.0 / (pdf_b_l + pdf_l), 0.0)
+                        nee = vadd(nee, vscale(vmul(fcos_l, vfull((r[4], r[5], r[6]), zf)), wl))
+                    contrib = vwhere(scatter, vadd(contrib, vmul(t3, nee)), contrib)
+
+                u1, u2 = us[3], us[4]
+                cos_a = vdot(view, normal)
+                entering = cos_a < 0
+                n_eff = vwhere(entering, normal, vscale(normal, -1.0))
+                eta = jnp.where(entering, 1.0 / mior, mior)
+                ci = vdot(view, n_eff)
+                kk = 1.0 - eta * eta * (1.0 - ci * ci)
+                refr = vsub(vscale(view, eta), vscale(n_eff, eta * ci + safe_sqrt(kk)))
+                d_trans = vwhere(kk < 0, reflect(view, n_eff), refr)
+                rl = jnp.sqrt(u1)
+                phi = u2 * 2.0 * PI
+                lz = safe_sqrt(1.0 - u1)
+                d_lam = vadd(
+                    vadd(vscale(tangent, rl * jnp.cos(phi)), vscale(binormal, rl * jnp.sin(phi))),
+                    vscale(normal, lz),
+                )
+                pdf_lam = lz / PI
+                zax = vfull((0.0, 0.0, 1.0), zf)
+                uax = vcross(zax, refl)
+                degen = vdot(uax, uax) < 1e-12
+                uax = vnormalize(vwhere(degen, vcross(vfull((0.0, 1.0, 0.0), zf), refl), uax))
+                vax = vcross(uax, refl)
+                cos_ph = safe_pow(u1, 1.0 / (mexp + 1.0))
+                sin_ph = safe_sqrt(1.0 - cos_ph * cos_ph)
+                d_ph = vadd(
+                    vadd(vscale(uax, sin_ph * jnp.cos(phi)), vscale(vax, sin_ph * jnp.sin(phi))),
+                    vscale(refl, cos_ph),
+                )
+                pdf_ph = (mexp + 1.0) / (2.0 * PI) * safe_pow(cos_ph, mexp)
+
+                new_d = vwhere(m_trans, d_trans, vwhere(m_lam, d_lam, vwhere(m_ph, d_ph, refl)))
+                pdf_b = jnp.where(m_lam, pdf_lam, jnp.where(m_ph, pdf_ph, 1.0))
+                cos_nd = vdot(normal, new_d)
+                lobe_c = (mexp + 1.0) / (2.0 * PI) * safe_pow(
+                    jnp.maximum(vdot(refl, d_ph), 0.0), mexp
+                )
+                fcos = vwhere(
+                    m_trans,
+                    ms,
+                    vwhere(
+                        m_lam,
+                        vscale(md, jnp.maximum(cos_nd, 0.0) / PI),
+                        vwhere(
+                            m_ph,
+                            vscale(ms, lobe_c * jnp.maximum(cos_nd, 0.0)),
+                            vwhere(cos_nd > 0, ms, (zf, zf, zf)),
+                        ),
+                    ),
+                )
+
+                t3 = vwhere(m_trans, vmul(t3, fcos), t3)
+                t_em = vwhere(survive, t3, tk)
+                contrib = vwhere(emitter, vadd(contrib, vmul(t_em, me)), contrib)
+
+                continuing = survive & (m_trans | (pdf_b != 0))
+                if config.regen_threshold > 0.0:
+                    tmax = jnp.maximum(jnp.maximum(t3[0], t3[1]), t3[2])
+                    continuing = continuing & (tmax >= np.float32(config.regen_threshold))
+
+                o_cont = vadd(pos_hit, vscale(new_d, eps))
+                return (
+                    o_cont[0], o_cont[1], o_cont[2],
+                    new_d[0], new_d[1], new_d[2],
+                    t3[0], t3[1], t3[2],
+                    pos_hit[0], pos_hit[1], pos_hit[2],
+                    fcos[0], fcos[1], fcos[2],
+                    pdf_b,
+                    contrib[0], contrib[1], contrib[2],
+                    # discrete results, float-encoded (primal only)
+                    obj.astype(jnp.float32),
+                    jnp.where(scatter, 1.0, 0.0),
+                    jnp.where(continuing, 1.0, 0.0),
+                    jnp.where(m_mir, 1.0, 0.0),
+                )
+
+            zero4 = (zf, zf, zf, zf)
+            dtan = tuple((dirp == p).astype(jnp.float32) for p in range(4))
+            prim = (ox, oy, oz, dx, dy, dz, tr, tg, tb, qx, qy, qz,
+                    pfr, pfg, pfb, ppdf) + zero4
+            tans = (dox, doy, doz, ddx, ddy, ddz, dtr, dtg, dtb, dqx, dqy, dqz,
+                    dpfr, dpfg, dpfb, dppdf) + dtan
+            outs, douts = jax.jvp(lambda *a: step(*a), prim, tans)
+
+            (co0, co1, co2, nd0, nd1, nd2, nt0, nt1, nt2,
+             ph0, ph1, ph2, fc0, fc1, fc2, npdf,
+             cb0, cb1, cb2, obj_f, f_sc, f_cont, f_mir) = outs
+            (dco0, dco1, dco2, dnd0, dnd1, dnd2, dnt0, dnt1, dnt2,
+             dph0, dph1, dph2, dfc0, dfc1, dfc2, dnpdf,
+             dcb0, dcb1, dcb2, _, _, _, _) = douts
+
+            obj = obj_f.astype(jnp.int32)
+            scatter = f_sc > 0
+            continuing = f_cont > 0
+            m_mir = f_mir > 0
+            path_end = active & ~continuing
+
+            # accumulate the g-weighted tangent of this step's radiance
+            dL = dL + g3[0] * dcb0 + g3[1] * dcb1 + g3[2] * dcb2
+
+            # ---- discovery: record distinct touched spheres ------------------
+            disc = active & (slot < 0) & (obj >= P)
+            sid = obj - P
+            newly = disc & (sid != s0) & (sid != s1) & (sid != s2) & (sid != s3)
+            pl0 = newly & (s0 < 0)
+            s0 = jnp.where(pl0, sid, s0)
+            pl1 = newly & ~pl0 & (s1 < 0)
+            s1 = jnp.where(pl1, sid, s1)
+            pl2 = newly & ~pl0 & ~pl1 & (s2 < 0)
+            s2 = jnp.where(pl2, sid, s2)
+            pl3 = newly & ~pl0 & ~pl1 & ~pl2 & (s3 < 0)
+            s3 = jnp.where(pl3, sid, s3)
+
+            # ---- walk-end transitions ---------------------------------------
+            disc_end = path_end & (slot < 0)
+            rep_end = path_end & (slot >= 0)
+
+            # flush finished replays: table row jsel, col dirp += dL
+            @pl.when(jnp.any(rep_end))
+            def _():
+                def kstep(k, carry):
+                    mk = rep_end & (jsel == k)
+
+                    @pl.when(jnp.any(mk))
+                    def _():
+                        acc_row_add(
+                            k,
+                            (0, 1, 2, 3),
+                            [
+                                jnp.sum(jnp.where(mk & (dirp == p), dL, 0.0))
+                                for p in range(4)
+                            ],
+                        )
+
+                    return carry
+
+                jax.lax.fori_loop(0, S, kstep, 0)
+
+            # discovery end: start replays if any sphere was touched
+            has = s0 >= 0
+            # replay end: advance (dir, slot); slots beyond the recorded ones
+            # are -1, ending the sample
+            dir_n = dirp + 1
+            adv = dir_n >= 4
+            slot_n = slot + jnp.where(adv, 1, 0)
+            j_next = jnp.where(
+                slot_n == 0, s0, jnp.where(slot_n == 1, s1, jnp.where(slot_n == 2, s2, s3))
+            )
+            more = ~adv | ((slot_n < TRACK_SLOTS) & (j_next >= 0))
+
+            next_sample = (disc_end & ~has) | (rep_end & ~more)
+            new_sample = jnp.where(next_sample, sample + 1, sample)
+            new_slot = jnp.where(
+                disc_end, jnp.where(has, 0, -1),
+                jnp.where(rep_end, jnp.where(more, slot_n, -1), slot),
+            )
+            new_dirp = jnp.where(
+                disc_end, 0, jnp.where(rep_end, jnp.where(adv, 0, dir_n), dirp)
+            )
+            new_jsel = jnp.where(
+                disc_end, jnp.where(has, s0, -1),
+                jnp.where(rep_end, jnp.where(adv, j_next, jsel), jsel),
+            )
+            reset_slots = next_sample
+            s0 = jnp.where(reset_slots, -1, s0)
+            s1 = jnp.where(reset_slots, -1, s1)
+            s2 = jnp.where(reset_slots, -1, s2)
+            s3 = jnp.where(reset_slots, -1, s3)
+
+            # ---- state updates ----------------------------------------------
+            o_cam, d_cam = camera_ray(jnp.minimum(new_sample, eff - 1))
+            restart = path_end
+            new_o = vwhere(continuing, (co0, co1, co2), vwhere(restart, o_cam, (ox, oy, oz)))
+            new_dir3 = vwhere(continuing, (nd0, nd1, nd2), vwhere(restart, d_cam, (dx, dy, dz)))
+            t3n = vwhere(restart, vfull((1.0, 1.0, 1.0), zf), (nt0, nt1, nt2))
+            sc = scatter & ~path_end
+
+            rz = restart  # tangent hard-reset at walk starts
+
+            new_q = vwhere(sc, (ph0, ph1, ph2), (zf, zf, zf))
+            new_pf = (
+                jnp.where(sc, fc0, 1.0),
+                jnp.where(sc, fc1, 1.0),
+                jnp.where(sc, fc2, 1.0),
+            )
+            new_ppdf = jnp.where(sc, npdf, 1.0)
+
+            dz_ = zf
+            new_do = (
+                jnp.where(rz, dz_, dco0), jnp.where(rz, dz_, dco1), jnp.where(rz, dz_, dco2)
+            )
+            new_dd = (
+                jnp.where(rz, dz_, dnd0), jnp.where(rz, dz_, dnd1), jnp.where(rz, dz_, dnd2)
+            )
+            new_dt = (
+                jnp.where(rz, dz_, dnt0), jnp.where(rz, dz_, dnt1), jnp.where(rz, dz_, dnt2)
+            )
+            new_dq = (
+                jnp.where(sc, dph0, dz_), jnp.where(sc, dph1, dz_), jnp.where(sc, dph2, dz_)
+            )
+            new_dpf = (
+                jnp.where(sc, dfc0, dz_), jnp.where(sc, dfc1, dz_), jnp.where(sc, dfc2, dz_)
+            )
+            new_dppdf = jnp.where(sc, dnpdf, dz_)
+            new_dL = jnp.where(path_end, 0.0, dL)
+
+            return (
+                new_sample, new_slot, new_dirp,
+                jnp.where(restart, 0, depth + 1),
+                s0, s1, s2, s3, new_jsel,
+                jnp.where(restart, 1, jnp.where(scatter, jnp.int32(emit_after_scatter), emit_f)),
+                jnp.where(sc, 1, 0).astype(jnp.int32),
+                jnp.where(m_mir & ~path_end, 1, 0).astype(jnp.int32),
+                jnp.where(sc, obj, -1),
+                new_o[0], new_o[1], new_o[2],
+                new_dir3[0], new_dir3[1], new_dir3[2],
+                t3n[0], t3n[1], t3n[2],
+                new_q[0], new_q[1], new_q[2],
+                new_pf[0], new_pf[1], new_pf[2],
+                new_ppdf,
+                new_do[0], new_do[1], new_do[2],
+                new_dd[0], new_dd[1], new_dd[2],
+                new_dt[0], new_dt[1], new_dt[2],
+                new_dq[0], new_dq[1], new_dq[2],
+                new_dpf[0], new_dpf[1], new_dpf[2],
+                new_dppdf,
+                new_dL,
+            )
+
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        jax.lax.while_loop(cond, body, init_state())
+        out_ref[0] = acc_ref[0 : out_ref.shape[1], :]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
+def geometry_grads(
+    scene: Scene,
+    key: jax.Array,
+    cotangent: jax.Array,
+    width: int,
+    height: int,
+    spp: int,
+    config: RenderConfig = RenderConfig(),
+):
+    """d(Σ cotangent ⊙ image)/d(sphere geometry) for the megakernel render.
+
+    Returns dict(center=[S, 3] world-space center gradients,
+    radius=[S] radius gradients). Interior terms only (visibility detached);
+    light-as-sampler geometry is out of scope — see the module docstring."""
+    prep = prepare_scene(scene)
+    grid_n = max(int(spp**0.5), 1)
+    eff = grid_n * grid_n
+    divisor = float(spp if config.kajo_spp_quirk else eff)
+
+    n = width * height
+    rows_n = -(-n // 128)
+    rows_pad = -(-rows_n // TILE_ROWS) * TILE_ROWS
+    n_tiles = rows_pad // TILE_ROWS
+
+    P, S, L = scene.num_planes, scene.num_spheres, scene.num_lights
+    kernel = _build_geom_kernel(width, height, grid_n, eff, config, P, S, L)
+
+    packed = _pack_scene(prep)
+    seed = jnp.asarray(seed_from_key(key), jnp.uint32).reshape(1, 1)
+    g = jnp.asarray(cotangent, jnp.float32)[..., :3].reshape(n, 3) / divisor
+    g_lanes = jnp.zeros((3, rows_pad * 128), jnp.float32)
+    g_lanes = g_lanes.at[:, :n].set(g.T).reshape(3, rows_pad, 128)
+
+    srow_pad = -(-S // 8) * 8
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, srow_pad, 128), jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, TILE_ROWS, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, srow_pad, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((srow_pad, 128), jnp.float32)],
+    )(seed, packed, g_lanes)
+
+    table = jnp.sum(out, axis=0)[:S, :4]
+    radius = safe_sqrt(jnp.maximum(prep.sphere_radius2, 0.0))
+    return {
+        "center": table[:, 0:3],
+        # kernel direction 3 is d/d(r^2); chain to d/dr = 2 r · d/d(r^2)
+        "radius": 2.0 * radius * table[:, 3],
+    }

@@ -773,14 +773,26 @@ def material_grads(
     }
 
 
-def make_diff_renderer(width: int, height: int, spp: int, config: RenderConfig = RenderConfig()):
+def make_diff_renderer(
+    width: int,
+    height: int,
+    spp: int,
+    config: RenderConfig = RenderConfig(),
+    geometry: bool = False,
+):
     """A render function differentiable w.r.t. material colors + background.
 
     Returns ``render(scene, key) -> [H, W, 4]`` whose VJP runs the fused
     backward kernel. Gradients flow to materials.{diffuse, specular, emission}
-    and the background only — transparency/IOR/exponent get zero here by the
-    detached-probability convention, geometry gradients use the jax budget
-    engine (models/wavefront.render_pass_budget)."""
+    and the background — transparency/IOR/exponent get zero here by the
+    detached-probability convention.
+
+    ``geometry=True`` additionally runs the reverse-mode geometry kernel
+    (megakernel_geom.geometry_grads) in the VJP: sphere centers (the
+    translation column of ``sphere_transform``) and ``sphere_radius`` get
+    interior gradients at kernel speed; rotation entries stay zero (exact
+    for spheres) and silhouettes are detached (compose with diff/edges.py
+    for boundary terms)."""
     import dataclasses
 
     from .megakernel import render_pass_megakernel
@@ -809,6 +821,15 @@ def make_diff_renderer(width: int, height: int, spp: int, config: RenderConfig =
         scene_bar = dataclasses.replace(
             zero, materials=mats, background=jnp.append(gr["background"], 0.0)
         )
+        if geometry:
+            from .megakernel_geom import geometry_grads
+
+            gg = geometry_grads(scene, key, g, width, height, spp, config)
+            scene_bar = dataclasses.replace(
+                scene_bar,
+                sphere_transform=zero.sphere_transform.at[:, :3, 3].set(gg["center"]),
+                sphere_radius=gg["radius"],
+            )
         key_bar = np.zeros(key.shape, jax.dtypes.float0)
         return scene_bar, key_bar
 

@@ -201,6 +201,33 @@ def _round_up(n, m):
     return -(-n // m) * m
 
 
+def ray_sort_perm(o, d, lo, hi):
+    """Permutation grouping rays by (origin Morton cell, direction octant).
+
+    The kernel's block culling is per ray *tile*: a sphere block is skipped
+    only if NO ray in the 32x128 tile can hit it. Camera rays are coherent
+    (lanes are pixel-ordered) and cull well, but bounce and NEE rays are
+    spatially scattered across lanes, so their tiles touch nearly every
+    block. Sorting rays by a 24-bit key — 7 Morton bits per origin axis
+    (quantized to the scene bounds) then 3 direction-sign bits — makes each
+    tile's rays share a ~1-cell origin neighbourhood and a direction octant,
+    restoring the cull for secondary rays. A pure permutation: the unsorted
+    result is bit-identical (each ray's answer is independent)."""
+    q = (jnp.clip(o, lo, hi) - lo) / jnp.maximum(hi - lo, 1e-20)
+    q = jnp.clip(q * 127.0, 0.0, 127.0).astype(jnp.uint32)
+    code = (
+        (_expand_bits10(q[:, 0]) << 2)
+        | (_expand_bits10(q[:, 1]) << 1)
+        | _expand_bits10(q[:, 2])
+    )
+    octant = (
+        (d[:, 0] < 0).astype(jnp.uint32) * 4
+        + (d[:, 1] < 0).astype(jnp.uint32) * 2
+        + (d[:, 2] < 0).astype(jnp.uint32)
+    )
+    return jnp.argsort((code << 3) | octant)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _nearest(rigid: bool, o, d, t_max, packed, boxes):
     """(t_world [N], sphere_idx [N]) nearest hit; idx -1 / t BIG on miss.
