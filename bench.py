@@ -155,6 +155,31 @@ def main():
     except Exception:
         pass
 
+    # GEOMETRY grads at kernel speed: the reverse-mode replay kernel
+    # (ops/pallas/megakernel_geom.py) — every sphere center + radius in ONE
+    # fused pass (vs one jvp pass per scalar for forward mode, vs the jax
+    # budget engine row above)
+    geom_kernel_grad_samples_per_s = None
+    if engine == "mega":
+        try:
+            import jax.numpy as jnp
+
+            from kajo_tpu.ops.pallas.megakernel_geom import geometry_grads
+
+            gcot2 = jnp.ones((H, W, 3), jnp.float32)
+            gg = geometry_grads(scene, key, gcot2, W, H, SPP, config)
+            _ = float(np.asarray(gg["center"]).sum())  # compile + sync
+            n_gg = 5
+            t0 = time.time()
+            for i in range(n_gg):
+                gg = geometry_grads(
+                    scene, jax.random.fold_in(key, 70 + i), gcot2, W, H, SPP, config
+                )
+            _ = float(np.asarray(gg["center"]).sum()) + float(np.asarray(gg["radius"]).sum())
+            geom_kernel_grad_samples_per_s = round(n_gg * samples_per_pass / (time.time() - t0))
+        except Exception:
+            pass
+
     # rays/s from the live-lane counters (wavefront engine)
     rays_per_s = None
     try:
@@ -264,6 +289,7 @@ def main():
         "baseline_live": live,
         "grad_samples_per_s": round(grad_samples_per_s),
         "geom_grad_samples_per_s": geom_grad_samples_per_s,
+        "geom_kernel_grad_samples_per_s": geom_kernel_grad_samples_per_s,
         "fwd_tangent_samples_per_s": fwd_tangent_samples_per_s,
         "rays_per_s": rays_per_s,
         "caustics_samples_per_s": caustics_rate,
