@@ -41,6 +41,19 @@ from jax.experimental.pallas import tpu as pltpu
 from .megakernel import BIG, safe_sqrt
 
 RAY_ROWS = 32          # rays per tile: RAY_ROWS x 128
+# Visit sphere blocks near-to-far from each ray tile (per-tile order fed to
+# the kernel via scalar prefetch). With t_best seeded (plane hit / shadow
+# t_max) and rays sorted (ray_sort_perm), the conservative `t_enter < t_best`
+# block cull then acts as an occlusion early-out: once a tile has found its
+# nearest hits, every farther block is skipped — BVH-like behavior at block
+# granularity with zero per-lane gathers. Pure visitation order: the result
+# is unchanged (strict `t < t_best` keeps the nearest hit regardless).
+# Measured on the real TPU: OFF wins for this kernel — the stream is
+# SMEM-DMA-bandwidth-bound (~0.9 GB/s effective; culled-everything floor
+# 24.7 ms/trace at 100k spheres), so scattering the 2 KB block reads costs
+# more than the extra culling saves. Kept for A/B runs and for the
+# reachability-compaction machinery it shares with the V2 VMEM kernel.
+NEAR_FAR_ORDER: bool = False
 # smaller blocks = tighter AABBs = fewer genuinely-intersected spheres per
 # ray tile; 128 measured ~10% faster than 512 at 100k spheres (grid-step
 # overhead is small next to visited-block compute)
@@ -95,7 +108,7 @@ def _quadratic_general(rec, o, d):
 
 
 def _build_kernel(rigid: bool, block: int, fields: int):
-    def kernel(ray_ref, sph_ref, box_ref, t_ref, idx_ref):
+    def kernel(order_ref, ray_ref, sph_ref, box_ref, t_ref, idx_ref):
         s = pl.program_id(1)
 
         @pl.when(s == 0)
@@ -110,8 +123,9 @@ def _build_kernel(rigid: bool, block: int, fields: int):
         o = (ray_ref[0], ray_ref[1], ray_ref[2])
         d = (ray_ref[3], ray_ref[4], ray_ref[5])
         t_best = t_ref[...]
-        idx_best = idx_ref[...]
-        base = s * block
+        # sphere indices must name the streamed block's TRUE position in the
+        # packed array (the visit order is per-tile, near-to-far)
+        base = order_ref[pl.program_id(0), s] * block
 
         # ---- block culling: spheres are Morton-ordered, so each streamed
         # block has a tight AABB; if no ray in this tile can hit the box
@@ -136,6 +150,14 @@ def _build_kernel(rigid: bool, block: int, fields: int):
             t_exit = jnp.minimum(t_exit, far)
         may_hit = (t_exit >= t_enter) & (t_enter < t_best)
         any_hit = jnp.any(may_hit)
+        # near-to-far orders pad their tail with repeats of the final
+        # candidate; a repeated index re-DMAs nothing (Pallas elides the
+        # fetch) and is skipped here outright
+        fresh = jnp.logical_or(
+            s == 0,
+            order_ref[pl.program_id(0), s]
+            != order_ref[pl.program_id(0), jnp.maximum(s - 1, 0)],
+        )
 
         if rigid:
             d_dot_o = d[0] * o[0] + d[1] * o[1] + d[2] * o[2]
@@ -160,14 +182,14 @@ def _build_kernel(rigid: bool, block: int, fields: int):
                 win = valid & (t < t_best)
                 return jnp.where(win, t, t_best), jnp.where(win, base + i, idx_best)
 
-        t_best, idx_best = jax.lax.cond(
-            any_hit,
-            lambda carry: jax.lax.fori_loop(0, block, body, carry),
-            lambda carry: carry,
-            (t_best, idx_best),
-        )
-        t_ref[...] = t_best
-        idx_ref[...] = idx_best
+        # pl.when (not lax.cond over the carry): a culled step must not pay
+        # a 2x[ROWS,128] select/copy — with most blocks culled, that copy was
+        # the dominant per-step cost
+        @pl.when(any_hit & fresh)
+        def _():
+            t2, idx2 = jax.lax.fori_loop(0, block, body, (t_ref[...], idx_ref[...]))
+            t_ref[...] = t2
+            idx_ref[...] = idx2
 
     return kernel
 
@@ -202,16 +224,18 @@ def _round_up(n, m):
 
 
 def ray_sort_perm(o, d, lo, hi):
-    """Permutation grouping rays by (origin Morton cell, direction octant).
+    """Permutation grouping rays by (direction octant, origin Morton cell).
 
     The kernel's block culling is per ray *tile*: a sphere block is skipped
     only if NO ray in the 32x128 tile can hit it. Camera rays are coherent
     (lanes are pixel-ordered) and cull well, but bounce and NEE rays are
     spatially scattered across lanes, so their tiles touch nearly every
-    block. Sorting rays by a 24-bit key — 7 Morton bits per origin axis
-    (quantized to the scene bounds) then 3 direction-sign bits — makes each
-    tile's rays share a ~1-cell origin neighbourhood and a direction octant,
-    restoring the cull for secondary rays. A pure permutation: the unsorted
+    block. Sorting rays by a 24-bit key — 3 direction-sign bits MAJOR, then
+    7 Morton bits per origin axis (quantized to the scene bounds) — makes
+    each tile mono-octant with a ~1-cell origin neighbourhood (at most 7
+    tiles straddle an octant boundary), so the whole half-scene *behind* a
+    tile culls on the slab test and the XLA-side reachability compaction can
+    drop it from the stream outright. A pure permutation: the unsorted
     result is bit-identical (each ray's answer is independent)."""
     q = (jnp.clip(o, lo, hi) - lo) / jnp.maximum(hi - lo, 1e-20)
     q = jnp.clip(q * 127.0, 0.0, 127.0).astype(jnp.uint32)
@@ -225,7 +249,7 @@ def ray_sort_perm(o, d, lo, hi):
         + (d[:, 1] < 0).astype(jnp.uint32) * 2
         + (d[:, 2] < 0).astype(jnp.uint32)
     )
-    return jnp.argsort((code << 3) | octant)
+    return jnp.argsort((octant << 21) | code)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -240,6 +264,8 @@ def _nearest(rigid: bool, o, d, t_max, packed, boxes):
 
 
 def _nearest_fwd_impl(rigid, o, d, t_max, packed, boxes):
+    if KERNEL_V2:
+        return _nearest_v2_impl(rigid, o, d, t_max, packed, boxes)
     n = o.shape[0]
     block = SPH_BLOCK_RIGID if rigid else SPH_BLOCK_GENERAL
     fields = _F_RIGID if rigid else _F_GENERAL
@@ -250,28 +276,334 @@ def _nearest_fwd_impl(rigid, o, d, t_max, packed, boxes):
     n_sph_blocks = s_pad // block
 
     rays = jnp.concatenate([o.T, d.T, t_max[None, :]], axis=0).reshape(7, rows, 128)
+
+    if NEAR_FAR_ORDER and n_sph_blocks > 1:
+        # Per-tile block visit order: distance from the tile's mean live-ray
+        # origin to each block's AABB center (a proxy for slab t_enter —
+        # correctness never depends on it). Padding rays (d == 0) are
+        # excluded so a part-empty final tile still orders sensibly.
+        #
+        # On top of the ordering, a conservative per-tile REACHABILITY cull
+        # runs here in XLA: live origins lie in the tile box [tlo, thi]; if
+        # every live ray moves forward along an axis (all d[ax] >= 0), any
+        # block entirely behind tlo[ax] can never be hit at t >= 0 (and
+        # symmetrically for all-negative axes). Unreachable blocks sort to
+        # the tail and are REPLACED by repeats of the last reachable block:
+        # Pallas elides the DMA for an unchanged block index and the kernel
+        # skips repeated steps outright, so the effective stream length per
+        # tile is its reachable-candidate count — with sorted rays most
+        # tiles are mono-octant and drop a large fraction of the scene.
+        o_t = o.reshape(n_ray_tiles, RAY_ROWS * 128, 3)
+        d_t = d.reshape(n_ray_tiles, RAY_ROWS * 128, 3)
+        live = jnp.any(d_t != 0, axis=-1, keepdims=True)
+        w = live.astype(jnp.float32)
+        centroid = jnp.sum(o_t * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1.0)
+        b2 = boxes[:, 0, :]
+        bc = 0.5 * (b2[:, 0:3] + b2[:, 3:6])
+        dist = jnp.sum((centroid[:, None, :] - bc[None, :, :]) ** 2, axis=-1)
+
+        big_o = jnp.float32(3.0e38)
+        tlo = jnp.min(jnp.where(live, o_t, big_o), axis=1)
+        thi = jnp.max(jnp.where(live, o_t, -big_o), axis=1)
+        all_pos = jnp.all(jnp.where(live, d_t >= 0, True), axis=1)
+        all_neg = jnp.all(jnp.where(live, d_t <= 0, True), axis=1)
+        # [T, B]: block behind the tile along some uniformly-signed axis
+        behind = jnp.any(
+            (all_pos[:, None, :] & (b2[None, :, 3:6] < tlo[:, None, :]))
+            | (all_neg[:, None, :] & (b2[None, :, 0:3] > thi[:, None, :])),
+            axis=-1,
+        )
+        has_live = jnp.any(live[:, :, 0], axis=1)
+        reach = (~behind) & has_live[:, None]
+
+        key_sort = jnp.where(reach, dist, jnp.float32(np.inf))
+        order = jnp.argsort(key_sort, axis=1).astype(jnp.int32)
+        count = jnp.sum(reach, axis=1).astype(jnp.int32)
+        lastc = jnp.take_along_axis(
+            order, jnp.maximum(count - 1, 0)[:, None], axis=1
+        )
+        pos = jnp.arange(n_sph_blocks, dtype=jnp.int32)[None, :]
+        order = jnp.where(pos < jnp.maximum(count, 1)[:, None], order, lastc)
+    else:
+        order = jnp.broadcast_to(
+            jnp.arange(n_sph_blocks, dtype=jnp.int32)[None, :],
+            (n_ray_tiles, n_sph_blocks),
+        )
+
     kernel = _build_kernel(rigid, block, fields)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_ray_tiles, n_sph_blocks),
+        in_specs=[
+            pl.BlockSpec((7, RAY_ROWS, 128), lambda r, s, order: (0, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, fields), lambda r, s, order: (order[r, s], 0), memory_space=pltpu.SMEM),
+            # (1, 1, 8): Mosaic requires the last two block dims to divide
+            # (8, 128) or equal the array dims; the singleton middle dim
+            # satisfies that for an 8-float record
+            pl.BlockSpec((1, 1, 8), lambda r, s, order: (order[r, s], 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((RAY_ROWS, 128), lambda r, s, order: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_ROWS, 128), lambda r, s, order: (r, 0), memory_space=pltpu.VMEM),
+        ),
+    )
     t, idx = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((rows, 128), jnp.float32),
             jax.ShapeDtypeStruct((rows, 128), jnp.int32),
         ),
-        grid=(n_ray_tiles, n_sph_blocks),
+        grid_spec=grid_spec,
+    )(order, rays, packed, boxes)
+    return t.reshape(n), idx.reshape(n)
+
+
+# --------------------------------------------------------------- V2 kernel
+#
+# The V1 kernel streams sphere blocks HBM->SMEM and broadcasts each sphere's
+# record as scalars over a [32, 128] ray tile. Measured on v5e, that design
+# is SMEM-DMA-bandwidth-bound (~0.9 GB/s effective): the all-culled floor is
+# ~25 ms for 49k rays x 100k spheres — the whole scene re-streamed into SMEM
+# per ray tile at scalar-memory speed. Small ray tiles (which the cull NEEDS:
+# a 4096-ray bounce tile spans most of the scene, so ~95% of blocks survive
+# tile-level culling; 512-ray tiles cut that to ~15-20%) multiply the
+# re-streaming and are therefore unaffordable against SMEM.
+#
+# V2 removes SMEM from the data path entirely: sphere superblocks stream
+# HBM->VMEM (full DMA bandwidth), and the quadratic runs on PAIR MATRICES
+# [V2_RAY_TILE rays (sublanes) x 128 spheres (lanes)] built from two natural
+# broadcasts — per-ray values as [R, 1] columns, per-sphere values as
+# [1, 128] rows. Small ray tiles become nearly free, which makes per-tile
+# candidate compaction effective: an XLA-side reachability pass (behind-test
+# along the tile's uniform direction signs + distance/t_max pruning) sorts
+# each tile's reachable superblocks near-to-far and pads the tail with
+# repeats of the last candidate; the kernel skips repeated steps and Pallas
+# elides their DMA, so each tile pays only for its candidate list. The
+# in-kernel per-superblock slab test (exact per ray) then retires blocks as
+# t_best tightens near-to-far. Results are identical to V1/the dense scan:
+# same f32 formula and operation order, same strict-< earliest-index ties.
+#
+# MEASURED VERDICT (real TPU v5e, 100k spheres, one process, bit-exact
+# outputs): V2 LOSES to V1 — 19.0 ms vs 13.6 ms per primary-ray trace
+# (12k rays) and 37K vs ~105K samples/s on the full config-5 render. By the
+# time V2 was built, plane-seeded t_best, block=128 AABBs, and per-iteration
+# wavefront ray reordering had already pulled V1 well under its old ~25 ms
+# SMEM floor; V2's coarser cull granularity (512-ray tiles x 1024-sphere
+# superblock AABBs vs 4096-ray tiles x 128-sphere blocks) plus ~3x more grid
+# steps cost more than VMEM DMA bandwidth recovers. Kept, default-off, as the
+# measured A/B point (tests force it on and gate bit-exactness vs V1).
+
+KERNEL_V2: bool = False
+V2_RAY_TILE = 512   # rays per tile == pair-matrix sublane extent
+V2_SUPER = 1024     # spheres per streamed superblock (V2_SUPER // 128 chunks)
+
+
+def _build_kernel_v2(rigid, fields, n_chunks, n_super):
+    int_max = np.int32(2_147_483_647)
+
+    def kernel(cand_ref, ray_ref, sph_ref, sbox_ref, t_ref, idx_ref):
+        r = pl.program_id(0)
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _():
+            # seed with the per-ray search bound (shadow t_max / plane hit)
+            t_ref[...] = ray_ref[:, 6:7]
+            idx_ref[...] = jnp.full_like(idx_ref, -1)
+
+        cand = cand_ref[r, s]
+        fresh = jnp.logical_or(s == 0, cand != cand_ref[r, jnp.maximum(s - 1, 0)])
+
+        ox = ray_ref[:, 0:1]
+        oy = ray_ref[:, 1:2]
+        oz = ray_ref[:, 2:3]
+        dx = ray_ref[:, 3:4]
+        dy = ray_ref[:, 4:5]
+        dz = ray_ref[:, 5:6]
+        t_best = t_ref[...]
+
+        # exact per-ray slab test against the superblock AABB, [R, 1]
+        t_enter = jnp.zeros_like(t_best)
+        t_exit = jnp.full_like(t_best, BIG)
+        for ax, dv, ov in ((0, dx, ox), (1, dy, oy), (2, dz, oz)):
+            lo = sbox_ref[0, 0, ax]
+            hi = sbox_ref[0, 0, 3 + ax]
+            inv = jnp.where(dv == 0, BIG, 1.0 / jnp.where(dv == 0, 1.0, dv))
+            inside = (ov >= lo) & (ov <= hi)
+            t0 = (lo - ov) * inv
+            t1 = (hi - ov) * inv
+            near = jnp.minimum(t0, t1)
+            far = jnp.maximum(t0, t1)
+            near = jnp.where(dv == 0, jnp.where(inside, -BIG, BIG), near)
+            far = jnp.where(dv == 0, jnp.where(inside, BIG, -BIG), far)
+            t_enter = jnp.maximum(t_enter, near)
+            t_exit = jnp.minimum(t_exit, far)
+        may = (t_exit >= t_enter) & (t_enter < t_best)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (t_best.shape[0], 128), 1)
+
+        @pl.when(fresh & jnp.any(may))
+        def _():
+            tb = t_ref[...]
+            ib = idx_ref[...]
+            base = cand * n_super
+            if rigid:
+                d_dot_o = dx * ox + dy * oy + dz * oz
+                o2 = ox * ox + oy * oy + oz * oz
+            for c in range(n_chunks):
+                sl = slice(c * 128, (c + 1) * 128)
+                if rigid:
+                    t, valid = _quadratic_rigid(
+                        sph_ref[0, 0:1, sl],
+                        sph_ref[0, 1:2, sl],
+                        sph_ref[0, 2:3, sl],
+                        sph_ref[0, 3:4, sl],
+                        (ox, oy, oz),
+                        (dx, dy, dz),
+                        d_dot_o,
+                        o2,
+                    )
+                else:
+                    rec = [sph_ref[0, f : f + 1, sl] for f in range(fields)]
+                    t, valid = _quadratic_general(rec, (ox, oy, oz), (dx, dy, dz))
+                win = valid & (t < tb)
+                t_m = jnp.where(win, t, BIG)
+                t_min = jnp.min(t_m, axis=1, keepdims=True)
+                any_win = t_min < tb
+                lane_w = jnp.min(
+                    jnp.where(win & (t_m == t_min), lane, int_max),
+                    axis=1,
+                    keepdims=True,
+                )
+                ib = jnp.where(any_win, base + c * 128 + lane_w, ib)
+                tb = jnp.where(any_win, t_min, tb)
+            t_ref[...] = tb
+            idx_ref[...] = ib
+
+    return kernel
+
+
+def _nearest_v2_impl(rigid, o, d, t_max, packed, boxes):
+    n = o.shape[0]
+    fields = _F_RIGID if rigid else _F_GENERAL
+    R = V2_RAY_TILE
+    n_pad = _round_up(max(n, 1), R)
+    o_p = jnp.pad(o, ((0, n_pad - n), (0, 0)))
+    d_p = jnp.pad(d, ((0, n_pad - n), (0, 0)))
+    tm = jnp.pad(t_max, (0, n_pad - n))
+    T = n_pad // R
+
+    s_pad0 = packed.shape[0]
+    sb_pad = _round_up(s_pad0, V2_SUPER)
+    if sb_pad > s_pad0:
+        pad_row = jnp.zeros((sb_pad - s_pad0, fields), jnp.float32)
+        # r2 = -1: unhittable (same convention as build_stream_scene)
+        pad_row = pad_row.at[:, -1 if rigid else -2].set(-1.0)
+        packed_p = jnp.concatenate([packed, pad_row], axis=0)
+    else:
+        packed_p = packed
+    Bs = sb_pad // V2_SUPER
+    n_chunks = V2_SUPER // 128
+    # lane-major sphere layout: [Bs, F, V2_SUPER], spheres consecutive on lanes
+    packed_t = packed_p.T.reshape(fields, Bs, V2_SUPER).transpose(1, 0, 2)
+
+    # superblock AABBs from the (block=128) Morton chunk boxes; chunk boxes
+    # past the packed extent get (lo=+BIG, hi=-BIG) so they never widen one
+    b2 = boxes[:, 0, :]
+    need = sb_pad // SPH_BLOCK_RIGID if rigid else sb_pad // SPH_BLOCK_GENERAL
+    nb = b2.shape[0]
+    if need > nb:
+        filler = jnp.concatenate(
+            [
+                jnp.full((need - nb, 3), BIG, jnp.float32),
+                jnp.full((need - nb, 3), -BIG, jnp.float32),
+                jnp.zeros((need - nb, 2), jnp.float32),
+            ],
+            axis=1,
+        )
+        b2 = jnp.concatenate([b2, filler], axis=0)
+    per_super = V2_SUPER // (SPH_BLOCK_RIGID if rigid else SPH_BLOCK_GENERAL)
+    g = b2[:need].reshape(Bs, per_super, 8)
+    sb_lo = jnp.min(g[..., 0:3], axis=1)
+    sb_hi = jnp.max(g[..., 3:6], axis=1)
+    sboxes = jnp.concatenate(
+        [sb_lo, sb_hi, jnp.zeros((Bs, 2), jnp.float32)], axis=1
+    )[:, None, :]
+
+    # ---- XLA-side per-tile candidate lists over superblocks
+    if Bs > 1:
+        o_t = o_p.reshape(T, R, 3)
+        d_t = d_p.reshape(T, R, 3)
+        live = jnp.any(d_t != 0, axis=-1, keepdims=True)
+        has_live = jnp.any(live[:, :, 0], axis=1)
+        w = live.astype(jnp.float32)
+        centroid = jnp.sum(o_t * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1.0)
+        bc = 0.5 * (sb_lo + sb_hi)
+        dist = jnp.sum((centroid[:, None, :] - bc[None, :, :]) ** 2, axis=-1)
+
+        big_o = jnp.float32(3.0e38)
+        tlo = jnp.min(jnp.where(live, o_t, big_o), axis=1)
+        thi = jnp.max(jnp.where(live, o_t, -big_o), axis=1)
+        all_pos = jnp.all(jnp.where(live, d_t >= 0, True), axis=1)
+        all_neg = jnp.all(jnp.where(live, d_t <= 0, True), axis=1)
+        behind = jnp.any(
+            (all_pos[:, None, :] & (sb_hi[None, :, :] < tlo[:, None, :]))
+            | (all_neg[:, None, :] & (sb_lo[None, :, :] > thi[:, None, :])),
+            axis=-1,
+        )
+        # t_max prune: per-axis box separation is a lower bound on the hit
+        # distance of any unit-direction ray from this tile, so a superblock
+        # farther than the tile's largest search bound is unreachable
+        tm_t = jnp.where(live[:, :, 0], tm.reshape(T, R), 0.0)
+        tm_max = jnp.max(tm_t, axis=1)
+        sep = jnp.maximum(
+            sb_lo[None, :, :] - thi[:, None, :], tlo[:, None, :] - sb_hi[None, :, :]
+        )
+        lb = jnp.max(jnp.maximum(sep, 0.0), axis=-1)
+        reach = (~behind) & (lb < tm_max[:, None]) & has_live[:, None]
+
+        key_sort = jnp.where(reach, dist, jnp.float32(np.inf))
+        cand = jnp.argsort(key_sort, axis=1).astype(jnp.int32)
+        count = jnp.sum(reach, axis=1).astype(jnp.int32)
+        lastc = jnp.take_along_axis(cand, jnp.maximum(count - 1, 0)[:, None], axis=1)
+        pos = jnp.arange(Bs, dtype=jnp.int32)[None, :]
+        cand = jnp.where(pos < jnp.maximum(count, 1)[:, None], cand, lastc)
+    else:
+        cand = jnp.zeros((T, 1), jnp.int32)
+
+    rays8 = jnp.concatenate(
+        [o_p, d_p, tm[:, None], jnp.zeros((n_pad, 1), jnp.float32)], axis=1
+    )
+
+    kernel = _build_kernel_v2(rigid, fields, n_chunks, V2_SUPER)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T, Bs),
         in_specs=[
-            pl.BlockSpec((7, RAY_ROWS, 128), lambda r, s: (0, r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, fields), lambda r, s: (s, 0), memory_space=pltpu.SMEM),
-            # (1, 1, 8): Mosaic requires the last two block dims to divide
-            # (8, 128) or equal the array dims; the singleton middle dim
-            # satisfies that for an 8-float record
-            pl.BlockSpec((1, 1, 8), lambda r, s: (s, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, 8), lambda r, s, cand: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, fields, V2_SUPER),
+                lambda r, s, cand: (cand[r, s], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 8), lambda r, s, cand: (cand[r, s], 0, 0), memory_space=pltpu.SMEM
+            ),
         ],
         out_specs=(
-            pl.BlockSpec((RAY_ROWS, 128), lambda r, s: (r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_ROWS, 128), lambda r, s: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda r, s, cand: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda r, s, cand: (r, 0), memory_space=pltpu.VMEM),
         ),
-    )(rays, packed, boxes)
-    return t.reshape(n), idx.reshape(n)
+    )
+    t, idx = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        ),
+        grid_spec=grid_spec,
+    )(cand, rays8, packed_t, sboxes)
+    return t[:n, 0], idx[:n, 0]
 
 
 def _t_recompute(rigid, rec, o, d):

@@ -110,6 +110,45 @@ def test_stream_trace_matches_dense_nonrigid():
     assert np.percentile(cos[hit], 0.5) > 0.999
 
 
+def test_stream_v2_bitexact_v1():
+    """The V2 (VMEM pair-matrix) kernel is bit-exact vs V1 (SMEM broadcast):
+    same f32 formulas and op order, same strict-< earliest-index ties.
+    V2 is default-off (measured slower on TPU — see stream_trace.py), but
+    its correctness is gated here on rigid AND non-rigid layouts."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from kajo_tpu.ops.pallas import stream_trace as st
+    from kajo_tpu.utils import math3d
+
+    rigid_scene = random_spheres_scene(700, seed=5, extent=20.0, n_lights=2)
+    bent = random_spheres_scene(300, seed=7, extent=15.0, n_lights=1)
+    stm = np.asarray(bent.sphere_transform).copy()
+    for i in range(0, len(stm), 3):
+        m = math3d.rotate(math3d.identity(), 30.0 + i, [0, 1, 0])
+        m = m @ np.diag([1.4, 0.8, 1.0, 1.0]).astype(np.float32)
+        stm[i] = stm[i] @ m
+    bent = dataclasses.replace(bent, sphere_transform=stm, rigid_spheres=False)
+
+    for scene in (rigid_scene, bent):
+        prep = geometry.prepare_scene(scene)
+        xs, ys = jnp.meshgrid(
+            jnp.linspace(0.02, 0.98, 40), jnp.linspace(0.02, 0.98, 30)
+        )
+        o, d = geometry.generate_rays(prep.camera, xs.ravel(), ys.ravel())
+        t_max = jnp.full(o.shape[0], 1e30, jnp.float32)
+        orig = st.KERNEL_V2
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                st.KERNEL_V2 = False
+                t1, i1 = jax.jit(lambda o, d: st.nearest_sphere(prep, o, d, t_max))(o, d)
+                st.KERNEL_V2 = True
+                t2, i2 = jax.jit(lambda o, d: st.nearest_sphere(prep, o, d, t_max))(o, d)
+        finally:
+            st.KERNEL_V2 = orig
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
 def test_chunked_nonrigid_matches_dense():
     """The XLA fallback for non-rigid big scenes (no Pallas backend)."""
     scene = random_spheres_scene(300, seed=8, extent=15.0, n_lights=1)
