@@ -263,9 +263,95 @@ def _nearest(rigid: bool, o, d, t_max, packed, boxes):
     return _nearest_fwd_impl(rigid, o, d, t_max, packed, boxes)
 
 
+# Per-tile FRUSTUM cull (default path). The kernel's in-tile slab test skips
+# a culled block's *compute*, but Pallas still streams the 2 KB sphere record
+# into SMEM every grid step — at the measured ~0.9 GB/s SMEM DMA bandwidth
+# that stream IS the floor (~2 ms per tile for a 100k scene). The only way to
+# not pay for a block is to never name it: these XLA-side candidate lists
+# keep, per ray tile, only the blocks a conservative interval-arithmetic slab
+# test says SOME tile ray could hit within its search bound, in ASCENDING
+# block order (near-sequential SMEM reads — a measured requirement: near-to-
+# far orders scatter the reads and regress ~40%), tail-padded with repeats of
+# the last candidate (Pallas elides the repeat DMA; the kernel skips the
+# step). With per-iteration wavefront ray reordering the tiles are
+# origin-local and mono-octant, so bounce cones and NEE shadow fans (whose
+# t_max is the light distance) cull most of the scene. Pure work elision:
+# reachability is conservative and the kernel test stays exact, so results
+# are bit-identical to the full sequential stream.
+#
+# MEASURED (real TPU, 100k spheres, one process): +15% on coherent primary
+# traces (11.8 vs 13.9 ms), but the XLA-side list construction costs 1.9 ms
+# of DISPATCH per trace call on this platform and the cull fraction for
+# sorted scattered/bounce tiles is 1.00 (a 4096-ray tile spans too much of
+# the scene for its direction box to exclude anything) — full render 72K vs
+# 104K samples/s. Default OFF; superseded by the V3 resident-scene kernel,
+# which runs the same interval test IN-KERNEL for free. Kept for A/B and
+# for the V1 streaming path on scenes too big for V3 residency.
+TILE_FRUSTUM: bool = False
+# numpy scalar: module import must not touch a jax backend (tests pin the
+# platform after import), and weak-typed promotion keeps everything f32
+_BIGF = np.float32(3.0e38)
+
+
+def _interval_div(nl, nh, dl, dh):
+    """Interval quotient [nl,nh]/[dl,dh] -> (lo, hi); unbounded if 0 in d."""
+    contains0 = (dl <= 0.0) & (dh >= 0.0)
+    sdl = jnp.where(contains0, 1.0, dl)
+    sdh = jnp.where(contains0, 1.0, dh)
+    q1, q2, q3, q4 = nl / sdl, nl / sdh, nh / sdl, nh / sdh
+    lo = jnp.minimum(jnp.minimum(q1, q2), jnp.minimum(q3, q4))
+    hi = jnp.maximum(jnp.maximum(q1, q2), jnp.maximum(q3, q4))
+    return jnp.where(contains0, -_BIGF, lo), jnp.where(contains0, _BIGF, hi)
+
+
+def _frustum_candidates(o, d, t_max, b2, n_tiles, tile_rays):
+    """[T, n_blocks] int32 visit order: ascending reachable block ids, tail
+    repeats. A block is reachable if the interval slab test over the tile's
+    (origin box x direction box) admits ANY hit time in [0, max t_max)."""
+    T = n_tiles
+    o_t = o.reshape(T, tile_rays, 3)
+    d_t = d.reshape(T, tile_rays, 3)
+    live = jnp.any(d_t != 0, axis=-1, keepdims=True)
+    has_live = jnp.any(live[:, :, 0], axis=1)
+    olo = jnp.min(jnp.where(live, o_t, _BIGF), axis=1)[:, None, :]
+    ohi = jnp.max(jnp.where(live, o_t, -_BIGF), axis=1)[:, None, :]
+    dlo = jnp.min(jnp.where(live, d_t, _BIGF), axis=1)[:, None, :]
+    dhi = jnp.max(jnp.where(live, d_t, -_BIGF), axis=1)[:, None, :]
+    tmx = jnp.max(
+        jnp.where(live[:, :, 0], t_max.reshape(T, tile_rays), 0.0), axis=1
+    )
+
+    blo = b2[None, :, 0:3]
+    bhi = b2[None, :, 3:6]
+    # per-axis crossing-time intervals over all (o, d) in the tile boxes:
+    # t_lo-slab in [blo-ohi, blo-olo]/D, t_hi-slab in [bhi-ohi, bhi-olo]/D
+    q1l, q1h = _interval_div(blo - ohi, blo - olo, dlo, dhi)
+    q2l, q2h = _interval_div(bhi - ohi, bhi - olo, dlo, dhi)
+    # LB(min per ray) = min of LBs; UB(max per ray) = max of UBs
+    near_lo = jnp.maximum(jnp.minimum(q1l, q2l), 0.0)
+    far_hi = jnp.maximum(q1h, q2h)
+    lb_enter = jnp.max(near_lo, axis=-1)   # [T, B]
+    ub_exit = jnp.min(far_hi, axis=-1)
+    reach = (
+        (lb_enter <= ub_exit) & (lb_enter < tmx[:, None]) & has_live[:, None]
+    )
+
+    n_blocks = b2.shape[0]
+    pos = jnp.arange(n_blocks, dtype=jnp.int32)[None, :]
+    key = jnp.where(reach, pos.astype(jnp.float32), jnp.float32(np.inf))
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    count = jnp.sum(reach, axis=1).astype(jnp.int32)
+    lastc = jnp.take_along_axis(order, jnp.maximum(count - 1, 0)[:, None], axis=1)
+    return jnp.where(pos < jnp.maximum(count, 1)[:, None], order, lastc)
+
+
 def _nearest_fwd_impl(rigid, o, d, t_max, packed, boxes):
     if KERNEL_V2:
         return _nearest_v2_impl(rigid, o, d, t_max, packed, boxes)
+    if KERNEL_V4:
+        return _nearest_v4_impl(rigid, o, d, t_max, packed, boxes)
+    if KERNEL_V3 and packed.size * 4 <= V3_RESIDENT_BYTES:
+        return _nearest_v3_impl(rigid, o, d, t_max, packed, boxes)
     n = o.shape[0]
     block = SPH_BLOCK_RIGID if rigid else SPH_BLOCK_GENERAL
     fields = _F_RIGID if rigid else _F_GENERAL
@@ -277,7 +363,11 @@ def _nearest_fwd_impl(rigid, o, d, t_max, packed, boxes):
 
     rays = jnp.concatenate([o.T, d.T, t_max[None, :]], axis=0).reshape(7, rows, 128)
 
-    if NEAR_FAR_ORDER and n_sph_blocks > 1:
+    if TILE_FRUSTUM and n_sph_blocks > 1:
+        order = _frustum_candidates(
+            o, d, t_max, boxes[:, 0, :], n_ray_tiles, RAY_ROWS * 128
+        )
+    elif NEAR_FAR_ORDER and n_sph_blocks > 1:
         # Per-tile block visit order: distance from the tile's mean live-ray
         # origin to each block's AABB center (a proxy for slab t_enter —
         # correctness never depends on it). Padding rays (d == 0) are
@@ -604,6 +694,358 @@ def _nearest_v2_impl(rigid, o, d, t_max, packed, boxes):
         grid_spec=grid_spec,
     )(cand, rays8, packed_t, sboxes)
     return t[:n, 0], idx[:n, 0]
+
+
+# --------------------------------------------------------------- V3 kernel
+#
+# Resident-scene kernel, the default for scenes that fit VMEM. The decisive
+# measurement behind it: the V1 render at 100k spheres sits AT the SMEM
+# restream floor — every ray tile re-streams the whole 1.6 MB packed scene
+# HBM->SMEM at ~1 GB/s effective even when the in-kernel cull skips all the
+# compute, because Pallas DMAs every named block regardless. XLA-side
+# candidate lists can elide those DMAs but cost ~1.9 ms of dispatch per
+# trace call on this platform (measured) and cull nothing for scattered
+# bounce tiles. V3 removes the restream entirely: a 100k-sphere scene packs
+# to 1.6 MB (rigid) / 5.6 MB (general) — it FITS IN VMEM, so the kernel
+# keeps it resident (constant index map -> fetched once), the per-tile
+# frustum/AABB cull runs IN-KERNEL (a vectorized interval slab test over
+# all chunk AABBs at once, ~us, zero dispatch), and each surviving
+# 128-sphere chunk is evaluated as a pair matrix [V3_RAY_TILE x 128]
+# (per-ray columns x per-sphere rows). Grid = ray tiles only: no per-block
+# grid steps, no per-block DMA, 8x finer ray-cull granularity than V1's
+# 4096-ray tiles. Bit-exact vs V1/V2/dense: same f32 formulas and op order,
+# same strict-< earliest-index ties.
+#
+# MEASURED VERDICT (real TPU, 100k spheres, one process): V3 also loses to
+# V1 — 12.8 vs 10.8 ms on primary traces. The per-chunk overhead moves from
+# DMA to the VPU: ~0.3 us per chunk for the dynamic [1,1] mask load +
+# cross-lane any() + branch (782 per tile x 24 tiles), plus the pair-matrix
+# form pays two lane-reductions (t_min, winner lane) per surviving chunk
+# that V1's strict-< scalar-broadcast update never needs. Kept default-off
+# as the measured A/B point; the winning design is V4 below (V1's compute
+# form, scene streamed once per TRACE instead of once per tile).
+
+KERNEL_V3: bool = False
+V3_RAY_TILE = 512
+# packed-scene byte cap for residency (Pallas double-buffers input windows,
+# so the true VMEM cost is ~2x this; v5e has 16 MB less outputs/scratch)
+V3_RESIDENT_BYTES = 6 * 2**20
+
+
+def _build_kernel_v3(rigid, fields, n_blocks):
+    int_max = np.int32(2_147_483_647)
+    bigf = np.float32(3.0e38)
+
+    def kernel(ray_ref, box_ref, sph_ref, t_ref, idx_ref, mask_ref):
+        ox = ray_ref[:, 0:1]
+        oy = ray_ref[:, 1:2]
+        oz = ray_ref[:, 2:3]
+        dx = ray_ref[:, 3:4]
+        dy = ray_ref[:, 4:5]
+        dz = ray_ref[:, 5:6]
+        tmax_col = ray_ref[:, 6:7]
+        live = (dx != 0.0) | (dy != 0.0) | (dz != 0.0)
+
+        # ---- tile bounds (scalars; dead/padding lanes excluded)
+        def lo_of(v):
+            return jnp.min(jnp.where(live, v, bigf))
+
+        def hi_of(v):
+            return jnp.max(jnp.where(live, v, -bigf))
+
+        tmx = jnp.max(jnp.where(live, tmax_col, 0.0))
+
+        # ---- in-kernel frustum: conservative interval slab test of the
+        # tile's (origin box x direction box x [0, tmx)) against every chunk
+        # AABB at once, on [n_blocks, 1] columns
+        def axis_iv(ax, ov, dv):
+            blo = box_ref[:, ax : ax + 1]
+            bhi = box_ref[:, 3 + ax : 4 + ax]
+            olo, ohi = lo_of(ov), hi_of(ov)
+            dlo, dhi = lo_of(dv), hi_of(dv)
+            c0 = (dlo <= 0.0) & (dhi >= 0.0)
+            sdl = jnp.where(c0, 1.0, dlo)
+            sdh = jnp.where(c0, 1.0, dhi)
+            n1l, n1h = blo - ohi, blo - olo
+            n2l, n2h = bhi - ohi, bhi - olo
+            q1l = jnp.minimum(jnp.minimum(n1l / sdl, n1l / sdh),
+                              jnp.minimum(n1h / sdl, n1h / sdh))
+            q1h = jnp.maximum(jnp.maximum(n1l / sdl, n1l / sdh),
+                              jnp.maximum(n1h / sdl, n1h / sdh))
+            q2l = jnp.minimum(jnp.minimum(n2l / sdl, n2l / sdh),
+                              jnp.minimum(n2h / sdl, n2h / sdh))
+            q2h = jnp.maximum(jnp.maximum(n2l / sdl, n2l / sdh),
+                              jnp.maximum(n2h / sdl, n2h / sdh))
+            near = jnp.where(c0, -bigf, jnp.minimum(q1l, q2l))
+            far = jnp.where(c0, bigf, jnp.maximum(q1h, q2h))
+            return jnp.maximum(near, 0.0), far
+
+        nx, fx = axis_iv(0, ox, dx)
+        ny, fy = axis_iv(1, oy, dy)
+        nz, fz = axis_iv(2, oz, dz)
+        lb = jnp.maximum(jnp.maximum(nx, ny), nz)
+        ub = jnp.minimum(jnp.minimum(fx, fy), fz)
+        mask_ref[...] = ((lb <= ub) & (lb < tmx)).astype(jnp.int32)
+
+        t_ref[...] = tmax_col
+        idx_ref[...] = jnp.full_like(idx_ref, -1)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tmax_col.shape[0], 128), 1)
+        if rigid:
+            d_dot_o = dx * ox + dy * oy + dz * oz
+            o2 = ox * ox + oy * oy + oz * oz
+
+        def body(i, _):
+            m = mask_ref[pl.ds(i, 1), :]
+
+            @pl.when(jnp.any(m != 0))
+            def _():
+                sph = sph_ref[pl.ds(i, 1), :, :]
+                tb = t_ref[...]
+                ib = idx_ref[...]
+                if rigid:
+                    t, valid = _quadratic_rigid(
+                        sph[0, 0:1, :], sph[0, 1:2, :], sph[0, 2:3, :],
+                        sph[0, 3:4, :], (ox, oy, oz), (dx, dy, dz), d_dot_o, o2,
+                    )
+                else:
+                    rec = [sph[0, f : f + 1, :] for f in range(fields)]
+                    t, valid = _quadratic_general(rec, (ox, oy, oz), (dx, dy, dz))
+                win = valid & (t < tb)
+                t_m = jnp.where(win, t, BIG)
+                t_min = jnp.min(t_m, axis=1, keepdims=True)
+                any_win = t_min < tb
+                lane_w = jnp.min(
+                    jnp.where(win & (t_m == t_min), lane, int_max),
+                    axis=1, keepdims=True,
+                )
+                idx_ref[...] = jnp.where(any_win, i * 128 + lane_w, ib)
+                t_ref[...] = jnp.where(any_win, t_min, tb)
+
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, body, 0)
+
+    return kernel
+
+
+def _nearest_v3_impl(rigid, o, d, t_max, packed, boxes):
+    n = o.shape[0]
+    fields = _F_RIGID if rigid else _F_GENERAL
+    R = V3_RAY_TILE
+    n_pad = _round_up(max(n, 1), R)
+    o_p = jnp.pad(o, ((0, n_pad - n), (0, 0)))
+    d_p = jnp.pad(d, ((0, n_pad - n), (0, 0)))
+    tm = jnp.pad(t_max, (0, n_pad - n))
+    T = n_pad // R
+
+    # resident layouts (loop-invariant under jit: XLA hoists them out of the
+    # wavefront while_loop, so per-trace cost is zero after the first)
+    B = packed.shape[0] // 128
+    scene_t = packed.reshape(B, 128, fields).transpose(0, 2, 1)
+    b2 = boxes[:, 0, :]
+    B_pad = _round_up(B, 8)
+    if B_pad > B:
+        filler = jnp.concatenate(
+            [
+                jnp.full((B_pad - B, 3), BIG, jnp.float32),
+                jnp.full((B_pad - B, 3), -BIG, jnp.float32),
+                jnp.zeros((B_pad - B, 2), jnp.float32),
+            ],
+            axis=1,
+        )
+        b2 = jnp.concatenate([b2, filler], axis=0)
+
+    rays8 = jnp.concatenate(
+        [o_p, d_p, tm[:, None], jnp.zeros((n_pad, 1), jnp.float32)], axis=1
+    )
+
+    kernel = _build_kernel_v3(rigid, fields, B)
+    t, idx = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((R, 8), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_pad, 8), lambda r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, fields, 128), lambda r: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((R, 1), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda r: (r, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((B_pad, 1), jnp.int32)],
+    )(rays8, b2, scene_t)
+    return t[:n, 0], idx[:n, 0]
+
+
+# --------------------------------------------------------------- V4 kernel
+#
+# SWAPPED-GRID streaming kernel: the V1 grid is (ray tile OUTER, sphere
+# block INNER), so every ray tile re-streams the whole packed scene
+# HBM->SMEM — at the measured ~1 GB/s SMEM DMA rate that restream is the
+# render's floor (12 tiles x 1.6 MB per trace at 100k spheres). V4 swaps to
+# (sphere block OUTER, ray tile INNER): the sphere block index is constant
+# across the inner sweep, so Pallas fetches each block exactly ONCE — total
+# SMEM traffic drops from tiles x scene to 1 x scene per trace. Per-tile
+# nearest-hit state (t_best, idx) lives in a persistent VMEM scratch
+# accumulator, initialized on the first outer step and flushed to the
+# outputs on the last. Streamed blocks are V4_SUB x 128 spheres with one
+# AABB slab test per 128-sphere sub-block (same cull granularity as V1's
+# 128-sphere blocks, V4_SUB x fewer grid steps). The compute form is V1's
+# scalar-broadcast fori (identical f32 ops in identical order), so results
+# are bit-exact vs V1/V2/V3/dense.
+#
+# MEASURED (real TPU, 100k spheres): V4 is the winner of the four designs —
+# 9.1 vs 10.3 ms per primary trace and 88K vs 69K samples/s on the config-5
+# render vs V1 in back-to-back processes, bit-identical images. V4_SUB=2
+# and 4 measure equal within noise; 8 is impossible (the Mosaic SMEM window
+# for a 1024x4 block pads to 1 MB — the whole SMEM space). Scattered
+# (bounce-regime) traces run ~24 ms = ~51G sphere-tests/s: compute-bound,
+# the remaining ceiling.
+
+KERNEL_V4: bool = True
+V4_SUB = 4  # 128-sphere sub-blocks per streamed SMEM block (8 OOMs SMEM)
+
+
+def _build_kernel_v4(rigid, fields, n_outer, sub, subblock):
+    def kernel(ray_ref, sph_ref, box_ref, t_ref, idx_ref, tacc, iacc):
+        s = pl.program_id(0)
+        r = pl.program_id(1)
+        rowsl = pl.ds(r * RAY_ROWS, RAY_ROWS)
+
+        @pl.when(s == 0)
+        def _():
+            tacc[rowsl, :] = ray_ref[6]
+            iacc[rowsl, :] = jnp.full((RAY_ROWS, 128), -1, jnp.int32)
+
+        o = (ray_ref[0], ray_ref[1], ray_ref[2])
+        d = (ray_ref[3], ray_ref[4], ray_ref[5])
+        if rigid:
+            d_dot_o = d[0] * o[0] + d[1] * o[1] + d[2] * o[2]
+            o2 = o[0] * o[0] + o[1] * o[1] + o[2] * o[2]
+
+        for j in range(sub):
+            t_best = tacc[rowsl, :]
+            lo = (box_ref[0, j, 0], box_ref[0, j, 1], box_ref[0, j, 2])
+            hi = (box_ref[0, j, 3], box_ref[0, j, 4], box_ref[0, j, 5])
+            t_enter = jnp.zeros_like(t_best)
+            t_exit = jnp.full_like(t_best, BIG)
+            for ax in range(3):
+                inv = jnp.where(
+                    d[ax] == 0, BIG, 1.0 / jnp.where(d[ax] == 0, 1.0, d[ax])
+                )
+                inside = (o[ax] >= lo[ax]) & (o[ax] <= hi[ax])
+                t0 = (lo[ax] - o[ax]) * inv
+                t1 = (hi[ax] - o[ax]) * inv
+                near = jnp.minimum(t0, t1)
+                far = jnp.maximum(t0, t1)
+                near = jnp.where(d[ax] == 0, jnp.where(inside, -BIG, BIG), near)
+                far = jnp.where(d[ax] == 0, jnp.where(inside, BIG, -BIG), far)
+                t_enter = jnp.maximum(t_enter, near)
+                t_exit = jnp.minimum(t_exit, far)
+            may_hit = (t_exit >= t_enter) & (t_enter < t_best)
+
+            if rigid:
+
+                def body(i, carry, _j=j):
+                    tb, ib = carry
+                    cx = sph_ref[_j * subblock + i, 0]
+                    cy = sph_ref[_j * subblock + i, 1]
+                    cz = sph_ref[_j * subblock + i, 2]
+                    r2 = sph_ref[_j * subblock + i, 3]
+                    t, valid = _quadratic_rigid(cx, cy, cz, r2, o, d, d_dot_o, o2)
+                    win = valid & (t < tb)
+                    base = (s * sub + _j) * subblock
+                    return jnp.where(win, t, tb), jnp.where(win, base + i, ib)
+
+            else:
+
+                def body(i, carry, _j=j):
+                    tb, ib = carry
+                    rec = [sph_ref[_j * subblock + i, f] for f in range(fields)]
+                    t, valid = _quadratic_general(rec, o, d)
+                    win = valid & (t < tb)
+                    base = (s * sub + _j) * subblock
+                    return jnp.where(win, t, tb), jnp.where(win, base + i, ib)
+
+            @pl.when(jnp.any(may_hit))
+            def _(body=body):
+                t2, i2 = jax.lax.fori_loop(
+                    0, subblock, body, (tacc[rowsl, :], iacc[rowsl, :])
+                )
+                tacc[rowsl, :] = t2
+                iacc[rowsl, :] = i2
+
+        # the out windows are parked on a dummy tail block until the final
+        # outer step (see the index maps): each real block is written once
+        @pl.when(s == n_outer - 1)
+        def _():
+            t_ref[...] = tacc[rowsl, :]
+            idx_ref[...] = iacc[rowsl, :]
+
+    return kernel
+
+
+def _nearest_v4_impl(rigid, o, d, t_max, packed, boxes):
+    n = o.shape[0]
+    block128 = SPH_BLOCK_RIGID if rigid else SPH_BLOCK_GENERAL
+    fields = _F_RIGID if rigid else _F_GENERAL
+    big_block = V4_SUB * 128
+    s_pad0 = packed.shape[0]
+    s_pad = _round_up(s_pad0, big_block)
+    if s_pad > s_pad0:
+        pad_row = jnp.zeros((s_pad - s_pad0, fields), jnp.float32)
+        pad_row = pad_row.at[:, -1 if rigid else -2].set(-1.0)  # unhittable
+        packed = jnp.concatenate([packed, pad_row], axis=0)
+    b2 = boxes[:, 0, :]
+    need = s_pad // block128
+    if need > b2.shape[0]:
+        # filler boxes copy the last real box: the slab test may pass, but
+        # every padded sphere has r2 = -1 and can never win
+        filler = jnp.broadcast_to(b2[-1:], (need - b2.shape[0], 8))
+        b2 = jnp.concatenate([b2, filler], axis=0)
+    n_outer = s_pad // big_block
+    boxes4 = b2.reshape(n_outer, V4_SUB, 8)
+
+    assert n % (RAY_ROWS * 128) == 0
+    rows = n // 128
+    n_ray_tiles = rows // RAY_ROWS
+    rays = jnp.concatenate([o.T, d.T, t_max[None, :]], axis=0).reshape(7, rows, 128)
+
+    kernel = _build_kernel_v4(rigid, fields, n_outer, V4_SUB, 128)
+
+    # out windows may not be REVISITED non-consecutively (undefined
+    # pipelining): park them on a dummy tail block for every outer step but
+    # the last, where each real block is visited (and written) exactly once
+    def out_idx(s, r):
+        return (jnp.where(s == n_outer - 1, r, n_ray_tiles), 0)
+
+    t, idx = pl.pallas_call(
+        kernel,
+        grid=(n_outer, n_ray_tiles),
+        in_specs=[
+            pl.BlockSpec((7, RAY_ROWS, 128), lambda s, r: (0, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((big_block, fields), lambda s, r: (s, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, V4_SUB, 8), lambda s, r: (s, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((RAY_ROWS, 128), out_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_ROWS, 128), out_idx, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows + RAY_ROWS, 128), jnp.float32),
+            jax.ShapeDtypeStruct((rows + RAY_ROWS, 128), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows, 128), jnp.float32),
+            pltpu.VMEM((rows, 128), jnp.int32),
+        ],
+    )(rays, packed, boxes4)
+    return t[:rows].reshape(n), idx[:rows].reshape(n)
 
 
 def _t_recompute(rigid, rec, o, d):

@@ -110,11 +110,91 @@ def test_stream_trace_matches_dense_nonrigid():
     assert np.percentile(cos[hit], 0.5) > 0.999
 
 
-def test_stream_v2_bitexact_v1():
-    """The V2 (VMEM pair-matrix) kernel is bit-exact vs V1 (SMEM broadcast):
-    same f32 formulas and op order, same strict-< earliest-index ties.
-    V2 is default-off (measured slower on TPU — see stream_trace.py), but
-    its correctness is gated here on rigid AND non-rigid layouts."""
+def test_frustum_cull_bitexact_scattered():
+    """The per-tile frustum candidate lists are pure work elision: scattered
+    rays with finite t_max bounds (the shadow-fan regime) give bit-identical
+    results with the cull on and off. Scattered rays are the adversarial
+    case — each tile's origin/direction boxes are wide, so conservativeness
+    bugs would surface here, not on coherent camera rays."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from kajo_tpu.ops.pallas import stream_trace as st
+
+    scene = random_spheres_scene(900, seed=11, extent=25.0, n_lights=2)
+    prep = geometry.prepare_scene(scene)
+    k = jax.random.PRNGKey(21)
+    n = 2 * st.RAY_ROWS * 128
+    o = jax.random.uniform(k, (n, 3), minval=-30.0, maxval=30.0)
+    d_raw = jax.random.normal(jax.random.fold_in(k, 1), (n, 3))
+    d = d_raw / jnp.linalg.norm(d_raw, axis=-1, keepdims=True)
+    t_max = jnp.where(
+        jax.random.bernoulli(jax.random.fold_in(k, 2), 0.5, (n,)),
+        jax.random.uniform(jax.random.fold_in(k, 3), (n,), minval=1.0, maxval=40.0),
+        jnp.float32(1e30),
+    )
+    # a few dead lanes (d == 0), as the wavefront produces
+    dead = jax.random.bernoulli(jax.random.fold_in(k, 4), 0.05, (n,))
+    d = jnp.where(dead[:, None], 0.0, d)
+
+    orig = (st.TILE_FRUSTUM, st.KERNEL_V4)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            # force the V1 streaming path: the frustum order is a V1 feature
+            st.KERNEL_V4 = False
+            st.TILE_FRUSTUM = False
+            t0, i0 = jax.jit(lambda o, d: st.nearest_sphere(prep, o, d, t_max))(o, d)
+            st.TILE_FRUSTUM = True
+            t1, i1 = jax.jit(lambda o, d: st.nearest_sphere(prep, o, d, t_max))(o, d)
+    finally:
+        st.TILE_FRUSTUM, st.KERNEL_V4 = orig
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    assert int((np.asarray(i0) >= 0).sum()) > 50  # the test actually hits
+
+
+def test_stream_v4_bitexact_v1():
+    """V4 (swapped grid: sphere blocks outer, ray tiles inner, scratch
+    accumulators) is bit-exact vs V1 on scattered rays with finite t_max —
+    V4 is the DEFAULT engine, so this is the main kernel-equivalence gate."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from kajo_tpu.ops.pallas import stream_trace as st
+
+    scene = random_spheres_scene(900, seed=11, extent=25.0, n_lights=2)
+    prep = geometry.prepare_scene(scene)
+    k = jax.random.PRNGKey(23)
+    n = 2 * st.RAY_ROWS * 128
+    o = jax.random.uniform(k, (n, 3), minval=-30.0, maxval=30.0)
+    d_raw = jax.random.normal(jax.random.fold_in(k, 1), (n, 3))
+    d = d_raw / jnp.linalg.norm(d_raw, axis=-1, keepdims=True)
+    t_max = jnp.where(
+        jax.random.bernoulli(jax.random.fold_in(k, 2), 0.5, (n,)),
+        jax.random.uniform(jax.random.fold_in(k, 3), (n,), minval=1.0, maxval=40.0),
+        jnp.float32(1e30),
+    )
+    dead = jax.random.bernoulli(jax.random.fold_in(k, 4), 0.05, (n,))
+    d = jnp.where(dead[:, None], 0.0, d)
+
+    orig = st.KERNEL_V4
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            st.KERNEL_V4 = False
+            t1, i1 = jax.jit(lambda o, d: st.nearest_sphere(prep, o, d, t_max))(o, d)
+            st.KERNEL_V4 = True
+            t4, i4 = jax.jit(lambda o, d: st.nearest_sphere(prep, o, d, t_max))(o, d)
+    finally:
+        st.KERNEL_V4 = orig
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i4))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t4))
+    assert int((np.asarray(i1) >= 0).sum()) > 50
+
+
+def test_stream_v2_v3_bitexact_v1():
+    """The V2 (VMEM pair-matrix) and V3 (resident-scene) kernels are
+    bit-exact vs V1 (SMEM broadcast): same f32 formulas and op order, same
+    strict-< earliest-index ties. Both are default-off (measured slower on
+    TPU than V4 — see stream_trace.py), but their correctness is gated here
+    on rigid AND non-rigid layouts."""
     from jax.experimental.pallas import tpu as pltpu
 
     from kajo_tpu.ops.pallas import stream_trace as st
@@ -136,17 +216,22 @@ def test_stream_v2_bitexact_v1():
         )
         o, d = geometry.generate_rays(prep.camera, xs.ravel(), ys.ravel())
         t_max = jnp.full(o.shape[0], 1e30, jnp.float32)
-        orig = st.KERNEL_V2
+        orig = (st.KERNEL_V2, st.KERNEL_V3, st.KERNEL_V4)
         try:
             with pltpu.force_tpu_interpret_mode():
-                st.KERNEL_V2 = False
+                st.KERNEL_V2 = st.KERNEL_V3 = st.KERNEL_V4 = False
                 t1, i1 = jax.jit(lambda o, d: st.nearest_sphere(prep, o, d, t_max))(o, d)
                 st.KERNEL_V2 = True
                 t2, i2 = jax.jit(lambda o, d: st.nearest_sphere(prep, o, d, t_max))(o, d)
+                st.KERNEL_V2 = False
+                st.KERNEL_V3 = True
+                t3, i3 = jax.jit(lambda o, d: st.nearest_sphere(prep, o, d, t_max))(o, d)
         finally:
-            st.KERNEL_V2 = orig
+            st.KERNEL_V2, st.KERNEL_V3, st.KERNEL_V4 = orig
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i3))
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t3))
 
 
 def test_chunked_nonrigid_matches_dense():
