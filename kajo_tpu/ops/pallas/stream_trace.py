@@ -909,18 +909,29 @@ def _nearest_v3_impl(rigid, o, d, t_max, packed, boxes):
 
 KERNEL_V4: bool = True
 V4_SUB = 4  # 128-sphere sub-blocks per streamed SMEM block (8 OOMs SMEM)
+# Rays per inner tile (rows of 128). Unlike V1 — where smaller tiles multiply
+# the scene restream — V4 fetches each sphere block once regardless of the
+# inner tile count, so shrinking the tile only buys FINER CULL GRANULARITY
+# (a sub-block is skipped when no ray in the tile can hit it; with wavefront
+# reordering small tiles are origin-local and mono-octant). Must divide
+# RAY_ROWS (callers pad ray counts to RAY_ROWS*128).
+# MEASURED (real TPU, 100k spheres, same process): 32 wins — 8 is 10.0 ms
+# primary / 40.7 ms scattered / 74.5K samples/s render vs 32's 9.0 / 22.8 /
+# 121.4K: the fixed per-grid-step cost of 4x more inner steps swamps the
+# finer cull even in the reordered bounce regime. Keep 32.
+V4_RAY_ROWS = 32
 
 
-def _build_kernel_v4(rigid, fields, n_outer, sub, subblock):
+def _build_kernel_v4(rigid, fields, n_outer, sub, subblock, rr):
     def kernel(ray_ref, sph_ref, box_ref, t_ref, idx_ref, tacc, iacc):
         s = pl.program_id(0)
         r = pl.program_id(1)
-        rowsl = pl.ds(r * RAY_ROWS, RAY_ROWS)
+        rowsl = pl.ds(r * rr, rr)
 
         @pl.when(s == 0)
         def _():
             tacc[rowsl, :] = ray_ref[6]
-            iacc[rowsl, :] = jnp.full((RAY_ROWS, 128), -1, jnp.int32)
+            iacc[rowsl, :] = jnp.full((rr, 128), -1, jnp.int32)
 
         o = (ray_ref[0], ray_ref[1], ray_ref[2])
         d = (ray_ref[3], ray_ref[4], ray_ref[5])
@@ -1011,12 +1022,13 @@ def _nearest_v4_impl(rigid, o, d, t_max, packed, boxes):
     n_outer = s_pad // big_block
     boxes4 = b2.reshape(n_outer, V4_SUB, 8)
 
-    assert n % (RAY_ROWS * 128) == 0
+    rr = min(V4_RAY_ROWS, RAY_ROWS)
+    assert n % (rr * 128) == 0
     rows = n // 128
-    n_ray_tiles = rows // RAY_ROWS
+    n_ray_tiles = rows // rr
     rays = jnp.concatenate([o.T, d.T, t_max[None, :]], axis=0).reshape(7, rows, 128)
 
-    kernel = _build_kernel_v4(rigid, fields, n_outer, V4_SUB, 128)
+    kernel = _build_kernel_v4(rigid, fields, n_outer, V4_SUB, 128, rr)
 
     # out windows may not be REVISITED non-consecutively (undefined
     # pipelining): park them on a dummy tail block for every outer step but
@@ -1028,17 +1040,17 @@ def _nearest_v4_impl(rigid, o, d, t_max, packed, boxes):
         kernel,
         grid=(n_outer, n_ray_tiles),
         in_specs=[
-            pl.BlockSpec((7, RAY_ROWS, 128), lambda s, r: (0, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((7, rr, 128), lambda s, r: (0, r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((big_block, fields), lambda s, r: (s, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, V4_SUB, 8), lambda s, r: (s, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((RAY_ROWS, 128), out_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_ROWS, 128), out_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rr, 128), out_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rr, 128), out_idx, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((rows + RAY_ROWS, 128), jnp.float32),
-            jax.ShapeDtypeStruct((rows + RAY_ROWS, 128), jnp.int32),
+            jax.ShapeDtypeStruct((rows + rr, 128), jnp.float32),
+            jax.ShapeDtypeStruct((rows + rr, 128), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((rows, 128), jnp.float32),
