@@ -239,11 +239,13 @@ def main():
         bw, bh, bspp = 128, 96, 4
         img_b = rpf(big, key, bw, bh, bspp, bcfg)
         img_b.block_until_ready()
+        img_b = rpf(big, jax.random.fold_in(key, 99), bw, bh, bspp, bcfg)
+        img_b.block_until_ready()  # second warmup: first post-compile pass is cold
         t0 = time.time()
-        for i in range(2):
+        for i in range(4):
             img_b = rpf(big, jax.random.fold_in(key, i + 1), bw, bh, bspp, bcfg)
         img_b.block_until_ready()
-        bigscene_samples_per_s = round(2 * bw * bh * bspp / (time.time() - t0))
+        bigscene_samples_per_s = round(4 * bw * bh * bspp / (time.time() - t0))
 
         # streaming-trace roofline: effective sphere-tests/s on primary rays
         from kajo_tpu.ops.geometry import generate_rays, prepare_scene
