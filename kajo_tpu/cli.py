@@ -141,6 +141,10 @@ def main(argv=None) -> int:
         height=args.height,
         spp=args.spp,
         seed=args.seed,
+        # every estimator-shaping config knob: a resumed pass rendered with a
+        # different depth/MIS/culling setting is a different estimator and
+        # must not be blended into this accumulation
+        config=repr(config),
     )
     total = np.zeros((args.height, args.width, 4), np.float32)
     start_pass = 0

@@ -48,29 +48,11 @@ EDGE_DELTA_PX = 0.05
 def _edge_points(centers, radii, phi, o_cam):
     """Silhouette circle points [S, M, 3] as a smooth function of (c, r).
 
-    ``phi`` is [S, M] per-sphere angles."""
-    a_vec = centers - o_cam[None, :]  # [S, 3]
-    dist = jnp.linalg.norm(a_vec, axis=-1, keepdims=True)  # [S, 1]
-    a = a_vec / dist
-    up = jnp.where(
-        (jnp.abs(a[:, 1]) < 0.9)[:, None],
-        jnp.array([0.0, 1.0, 0.0], jnp.float32),
-        jnp.array([1.0, 0.0, 0.0], jnp.float32),
+    ``phi`` is [S, M] per-sphere angles. The camera-origin special case of
+    _edge_points_from (one shared viewpoint for every sphere)."""
+    return _edge_points_from(
+        jnp.broadcast_to(o_cam[None, :], centers.shape), centers, radii, phi
     )
-    e1 = jnp.cross(a, up)
-    e1 = e1 / jnp.linalg.norm(e1, axis=-1, keepdims=True)
-    e2 = jnp.cross(a, e1)
-    sin_t = radii[:, None] / dist  # [S, 1] sin of the cone half-angle
-    # floor, not 0: sqrt(0)'s infinite derivative would NaN-poison the whole
-    # gradient (0·inf) whenever the viewpoint lies ON a sphere (dist == r —
-    # every pixel that hits the occluder itself); those rows are masked to
-    # zero weight, which only kills finite gradients
-    cos_t2 = jnp.maximum(1.0 - sin_t * sin_t, 1e-12)
-    ring_c = centers - (radii[:, None] * sin_t) * a  # circle center
-    ring_r = radii[:, None] * jnp.sqrt(cos_t2)  # circle radius
-    cphi = jnp.cos(phi)[..., None]  # [S, M, 1]
-    sphi = jnp.sin(phi)[..., None]
-    return ring_c[:, None, :] + ring_r[:, None, :] * (cphi * e1[:, None, :] + sphi * e2[:, None, :])
 
 
 def _screen_pix(p, view, proj, width, height):
@@ -195,7 +177,11 @@ def _edge_points_from(origins, centers, radii, phi):
     e1 = e1 / jnp.linalg.norm(e1, axis=-1, keepdims=True)
     e2 = jnp.cross(a, e1)
     sin_t = radii[:, None] / dist
-    cos_t2 = jnp.maximum(1.0 - sin_t * sin_t, 1e-12)  # see _edge_points
+    # floor, not 0: sqrt(0)'s infinite derivative would NaN-poison the whole
+    # gradient (0·inf) whenever the viewpoint lies ON a sphere (dist == r —
+    # every pixel that hits the occluder itself); those rows are masked to
+    # zero weight, which only kills finite gradients
+    cos_t2 = jnp.maximum(1.0 - sin_t * sin_t, 1e-12)
     ring_c = centers - (radii[:, None] * sin_t) * a
     ring_r = radii[:, None] * jnp.sqrt(cos_t2)
     cphi = jnp.cos(phi)[..., None]

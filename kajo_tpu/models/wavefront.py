@@ -405,10 +405,12 @@ def _make_loop(
             prev_pos=jnp.where((scatter & ~path_end)[:, None], hit.position, 0.0),
             iters=state["iters"] + 1,
             # one continuation/camera trace per live lane + one NEE shadow
-            # trace per light on scattering lanes
+            # trace per scattering lane (x num_lights unless one-of-L
+            # light sampling collapses the shadow fan to a single ray)
             rays=state["rays"]
             + jnp.sum(active.astype(jnp.float32))
-            + jnp.sum(scatter.astype(jnp.float32)) * num_lights,
+            + jnp.sum(scatter.astype(jnp.float32))
+            * (1 if config.one_light_nee and num_lights > 1 else num_lights),
         )
         if reorder:
             new_state["lane"] = lane_b
@@ -474,9 +476,12 @@ def render_pass_fast(
     lane = jnp.arange(n, dtype=jnp.uint32)
     seed = seed_from_key(key)
     pix = None
-    from ..ops.geometry import STREAM_THRESHOLD
+    from ..ops.geometry import STREAM_THRESHOLD, _stream_enabled
 
-    streaming = scene.num_spheres > STREAM_THRESHOLD
+    # tile remapping and per-iteration reordering only pay off when the
+    # trace actually takes the tile-culling streaming kernel — on dense/
+    # chunked backends the per-iteration argsort+gather is pure overhead
+    streaming = scene.num_spheres > STREAM_THRESHOLD and _stream_enabled()
     if streaming:
         pix = jnp.asarray(tiled_pixel_order(width, height))
     reorder = streaming if REORDER_WAVEFRONT is None else REORDER_WAVEFRONT

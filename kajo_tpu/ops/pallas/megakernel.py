@@ -504,7 +504,13 @@ def _build_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L, jvp
                     ),
                 )
                 cont = (p_rr > 0) & (us[0] <= p_rr)
-                prob_rr = jnp.where(cont, p_rr, 1.0 - p_rr)
+                # coin probabilities are DETACHED (stop_gradient), matching
+                # the jax engines' unbiased convention (wavefront.py
+                # flip_coin calls): under the in-kernel jax.jvp, material
+                # tangents must not produce d(1/prob) terms — the discrete
+                # coin outcome can't carry a derivative, so differentiating
+                # its compensation factor alone would bias the estimate
+                prob_rr = jax.lax.stop_gradient(jnp.where(cont, p_rr, 1.0 - p_rr))
                 t3 = vwhere(on_path, vscale(t3, 1.0 / prob_rr), t3)
                 tk = t3
                 emitter = on_path & (emit_f > 0)
@@ -517,12 +523,12 @@ def _build_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L, jvp
                 total = sum_d + sum_s + sum_t
                 p_t = jnp.where(total > 0, sum_t / jnp.where(total == 0, 1.0, total), 0.0)
                 transmit = (p_t > 0) & (us[1] <= p_t)
-                prob_t = jnp.where(transmit, p_t, 1.0 - p_t)
+                prob_t = jax.lax.stop_gradient(jnp.where(transmit, p_t, 1.0 - p_t))
                 t3 = vwhere(survive, vscale(t3, 1.0 / prob_t), t3)
                 dsum = sum_d + sum_s
                 p_d = jnp.where(dsum > 0, sum_d / jnp.where(dsum == 0, 1.0, dsum), 0.0)
                 diffc = (p_d > 0) & (us[2] <= p_d)
-                prob_d = jnp.where(diffc, p_d, 1.0 - p_d)
+                prob_d = jax.lax.stop_gradient(jnp.where(diffc, p_d, 1.0 - p_d))
                 t3 = vwhere(survive & ~transmit, vscale(t3, 1.0 / prob_d), t3)
 
                 m_trans = survive & transmit

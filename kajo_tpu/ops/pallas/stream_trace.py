@@ -148,7 +148,10 @@ def _build_kernel(rigid: bool, block: int, fields: int):
             far = jnp.where(d[ax] == 0, jnp.where(inside, BIG, -BIG), far)
             t_enter = jnp.maximum(t_enter, near)
             t_exit = jnp.minimum(t_exit, far)
-        may_hit = (t_exit >= t_enter) & (t_enter < t_best)
+        # box slot 6 = block min det: reported hits are det-scaled, so
+        # t_enter * min_det lower-bounds any reported t from this block
+        # (rigid scenes store 1.0 — exact multiply, culls unchanged)
+        may_hit = (t_exit >= t_enter) & (t_enter * box_ref[0, 0, 6] < t_best)
         any_hit = jnp.any(may_hit)
         # near-to-far orders pad their tail with repeats of the final
         # candidate; a repeated index re-DMAs nothing (Pallas elides the
@@ -258,8 +261,9 @@ def _nearest(rigid: bool, o, d, t_max, packed, boxes):
 
     ``o``/``d`` are [N, 3] with N a multiple of RAY_ROWS*128; ``packed`` is
     [S_pad, F] with S_pad a multiple of the block size (padding rows must be
-    unhittable: r2 < 0); ``boxes`` is [S_pad/block, 8] per-block AABBs
-    (lo3, hi3, pad2) used only for conservative culling."""
+    unhittable: r2 < 0); ``boxes`` is [S_pad/block, 8] per-block records
+    (AABB lo3, hi3, min-det, pad) used only for conservative culling —
+    min-det rescales slab-test distances to the det-scaled t convention."""
     return _nearest_fwd_impl(rigid, o, d, t_max, packed, boxes)
 
 
@@ -332,8 +336,11 @@ def _frustum_candidates(o, d, t_max, b2, n_tiles, tile_rays):
     far_hi = jnp.maximum(q1h, q2h)
     lb_enter = jnp.max(near_lo, axis=-1)   # [T, B]
     ub_exit = jnp.min(far_hi, axis=-1)
+    # box slot 6 = block min det (det-scaled-t lower bound, see V1)
     reach = (
-        (lb_enter <= ub_exit) & (lb_enter < tmx[:, None]) & has_live[:, None]
+        (lb_enter <= ub_exit)
+        & (lb_enter * b2[None, :, 6] < tmx[:, None])
+        & has_live[:, None]
     )
 
     n_blocks = b2.shape[0]
@@ -528,7 +535,8 @@ def _build_kernel_v2(rigid, fields, n_chunks, n_super):
             far = jnp.where(dv == 0, jnp.where(inside, BIG, -BIG), far)
             t_enter = jnp.maximum(t_enter, near)
             t_exit = jnp.minimum(t_exit, far)
-        may = (t_exit >= t_enter) & (t_enter < t_best)
+        # slot 6 = superblock min det (det-scaled-t lower bound, see V1)
+        may = (t_exit >= t_enter) & (t_enter * sbox_ref[0, 0, 6] < t_best)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (t_best.shape[0], 128), 1)
 
@@ -607,7 +615,8 @@ def _nearest_v2_impl(rigid, o, d, t_max, packed, boxes):
             [
                 jnp.full((need - nb, 3), BIG, jnp.float32),
                 jnp.full((need - nb, 3), -BIG, jnp.float32),
-                jnp.zeros((need - nb, 2), jnp.float32),
+                jnp.full((need - nb, 1), BIG, jnp.float32),  # min-det slot
+                jnp.zeros((need - nb, 1), jnp.float32),
             ],
             axis=1,
         )
@@ -616,8 +625,10 @@ def _nearest_v2_impl(rigid, o, d, t_max, packed, boxes):
     g = b2[:need].reshape(Bs, per_super, 8)
     sb_lo = jnp.min(g[..., 0:3], axis=1)
     sb_hi = jnp.max(g[..., 3:6], axis=1)
+    sb_mind = jnp.min(g[..., 6], axis=1)  # det-scaled-t cull bound scale
     sboxes = jnp.concatenate(
-        [sb_lo, sb_hi, jnp.zeros((Bs, 2), jnp.float32)], axis=1
+        [sb_lo, sb_hi, sb_mind[:, None], jnp.zeros((Bs, 1), jnp.float32)],
+        axis=1,
     )[:, None, :]
 
     # ---- XLA-side per-tile candidate lists over superblocks
@@ -650,7 +661,8 @@ def _nearest_v2_impl(rigid, o, d, t_max, packed, boxes):
             sb_lo[None, :, :] - thi[:, None, :], tlo[:, None, :] - sb_hi[None, :, :]
         )
         lb = jnp.max(jnp.maximum(sep, 0.0), axis=-1)
-        reach = (~behind) & (lb < tm_max[:, None]) & has_live[:, None]
+        # reported hits are det-scaled: lb * min_det bounds any reported t
+        reach = (~behind) & (lb * sb_mind[None, :] < tm_max[:, None]) & has_live[:, None]
 
         key_sort = jnp.where(reach, dist, jnp.float32(np.inf))
         cand = jnp.argsort(key_sort, axis=1).astype(jnp.int32)
@@ -785,7 +797,9 @@ def _build_kernel_v3(rigid, fields, n_blocks):
         nz, fz = axis_iv(2, oz, dz)
         lb = jnp.maximum(jnp.maximum(nx, ny), nz)
         ub = jnp.minimum(jnp.minimum(fx, fy), fz)
-        mask_ref[...] = ((lb <= ub) & (lb < tmx)).astype(jnp.int32)
+        # slot 6 = chunk min det (det-scaled-t lower bound, see V1)
+        mnd = box_ref[:, 6:7]
+        mask_ref[...] = ((lb <= ub) & (lb * mnd < tmx)).astype(jnp.int32)
 
         t_ref[...] = tmax_col
         idx_ref[...] = jnp.full_like(idx_ref, -1)
@@ -958,7 +972,10 @@ def _build_kernel_v4(rigid, fields, n_outer, sub, subblock, rr):
                 far = jnp.where(d[ax] == 0, jnp.where(inside, BIG, -BIG), far)
                 t_enter = jnp.maximum(t_enter, near)
                 t_exit = jnp.minimum(t_exit, far)
-            may_hit = (t_exit >= t_enter) & (t_enter < t_best)
+            # slot 6 = sub-block min det (det-scaled-t lower bound, see V1)
+            may_hit = (t_exit >= t_enter) & (
+                t_enter * box_ref[0, j, 6] < t_best
+            )
 
             if rigid:
 
@@ -1149,15 +1166,34 @@ def build_stream_scene(prep):
     centers = jnp.concatenate([centers, jnp.broadcast_to(last_c, (pad, 3))], axis=0)
     ext = jnp.concatenate([ext, jnp.zeros((pad, 3), jnp.float32)], axis=0)
 
+    # Reported hit distances are DET-SCALED (t = t_loc * det, the reference's
+    # Raytracer.cpp:70 semantics replicated by _quadratic_general), while the
+    # slab test's t_enter is a world-space ray parameter. A sphere with
+    # det < 1 reports t < its world distance, so a cull of the form
+    # `t_enter < t_best` could drop a block whose sphere would WIN the
+    # det-scaled comparison the dense scan performs. Box slot 6 carries the
+    # block's min det (clamped >= 0): t_enter * min_det is a valid lower
+    # bound on any reported t from the block, restoring exactness vs the
+    # dense path for non-rigid scenes. Rigid scenes have det == 1 (slot 6
+    # == 1.0: multiplying by it is exact, so rigid culls are unchanged).
+    if rigid:
+        dets = jnp.ones((s,), jnp.float32)
+    else:
+        dets = jnp.maximum(prep.sphere_det, 0.0)[perm]
+    # padding spheres are unhittable (r2 = -1): +BIG keeps them out of the min
+    dets = jnp.concatenate([dets, jnp.full((pad,), BIG, jnp.float32)], axis=0)
+
     n_blocks = s_pad // block
     c_b = centers.reshape(n_blocks, block, 3)
     e_b = ext.reshape(n_blocks, block, 3)
     lo = jnp.min(c_b - e_b, axis=1)
     hi = jnp.max(c_b + e_b, axis=1)
+    mind = jnp.min(dets.reshape(n_blocks, block), axis=1)[:, None]
     # conservative inflation: f32 slab-test rounding must never cull a true hit
     slack = 1e-4 * (jnp.max(hi) - jnp.min(lo) + 1.0)
     boxes = jnp.concatenate(
-        [lo - slack, hi + slack, jnp.zeros((n_blocks, 2), jnp.float32)], axis=1
+        [lo - slack, hi + slack, mind, jnp.zeros((n_blocks, 1), jnp.float32)],
+        axis=1,
     )[:, None, :]
     return packed, boxes, perm
 

@@ -92,9 +92,24 @@ def _pad_prep_spheres(prep: PreparedScene, s_pad: int) -> PreparedScene:
             [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0
         )
 
+    # Padding CENTERS must stay inside the real scene bounds: the shard that
+    # receives them rebuilds its own stream packing, whose AABB slack and
+    # Morton quantization are derived from the global center extents — a
+    # 1e30 outlier inflates the slack to ~1e26 and defeats every block cull
+    # on that device (and SPMD gates the whole render on the slowest shard).
+    # Repeat the last real center; r² = -1 keeps the pads unhittable.
+    last_center = prep.sphere_center[-1:] if s else jnp.zeros((1, 3), jnp.float32)
+
+    def pad_center(a):
+        if a.shape[0] == 0:
+            return a
+        return jnp.concatenate(
+            [a, jnp.broadcast_to(last_center, (pad, 3)).astype(a.dtype)], axis=0
+        )
+
     return dataclasses.replace(
         prep,
-        sphere_center=padn(prep.sphere_center, 1e30),
+        sphere_center=pad_center(prep.sphere_center),
         sphere_radius2=padn(prep.sphere_radius2, -1.0),
         sphere_inv3=padn(prep.sphere_inv3),
         sphere_invt=padn(prep.sphere_invt),

@@ -110,6 +110,159 @@ def test_stream_trace_matches_dense_nonrigid():
     assert np.percentile(cos[hit], 0.5) > 0.999
 
 
+def test_stream_cull_det_scaled_t():
+    """Det-scaled hit distances vs world-space culling: the reference's
+    Raytracer.cpp:70 semantics report t = t_loc * det, so a sphere with
+    det < 1 can WIN the nearest-hit comparison while sitting farther (in
+    world space) than the current best — a naive `t_enter < t_best` block
+    cull drops it. Box slot 6 (block min det) restores conservativeness.
+    This scene has dets spanning 0.008-8 (uniform scales 0.2-2.0), the
+    adversarial case; every stream variant must still match dense exactly."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from kajo_tpu.ops.pallas import stream_trace as st
+    from kajo_tpu.utils import math3d
+
+    scene = random_spheres_scene(400, seed=13, extent=18.0, n_lights=1)
+    stm = np.asarray(scene.sphere_transform).copy()
+    rng = np.random.default_rng(5)
+    scales = rng.choice([0.2, 0.5, 1.0, 2.0], size=len(stm))
+    for i, s_ in enumerate(scales):
+        m = math3d.rotate(math3d.identity(), 10.0 * i, [0, 1, 1])
+        stm[i] = stm[i] @ m @ np.diag([s_, s_, s_, 1.0]).astype(np.float32)
+    scene = dataclasses.replace(scene, sphere_transform=stm, rigid_spheres=False)
+    prep = geometry.prepare_scene(scene)
+    assert not prep.rigid
+    dets = np.asarray(prep.sphere_det)
+    assert dets.min() < 0.01 and dets.max() > 7.9  # the spread under test
+
+    xs, ys = jnp.meshgrid(jnp.linspace(0.02, 0.98, 32), jnp.linspace(0.02, 0.98, 24))
+    o_c, d_c = geometry.generate_rays(prep.camera, xs.ravel(), ys.ravel())
+    k = jax.random.PRNGKey(3)
+    n = st.RAY_ROWS * 128
+    o_s = jax.random.uniform(k, (n, 3), minval=-20.0, maxval=20.0)
+    dr = jax.random.normal(jax.random.fold_in(k, 1), (n, 3))
+    d_s = dr / jnp.linalg.norm(dr, axis=-1, keepdims=True)
+    t_s = jax.random.uniform(jax.random.fold_in(k, 2), (n,), minval=2.0, maxval=60.0)
+
+    dense_c = geometry.trace(prep, o_c, d_c)
+    dense_s = geometry.trace(prep, o_s, d_s, t_s)
+    orig = (geometry.STREAM_THRESHOLD, st.KERNEL_V4, st.TILE_FRUSTUM)
+    try:
+        geometry.STREAM_THRESHOLD = 64
+        _force_stream(True)
+        with pltpu.force_tpu_interpret_mode():
+            for v4, frustum in ((True, False), (False, False), (False, True)):
+                st.KERNEL_V4, st.TILE_FRUSTUM = v4, frustum
+                stream_c = geometry.trace(prep, o_c, d_c)
+                np.testing.assert_array_equal(
+                    np.asarray(dense_c.obj), np.asarray(stream_c.obj),
+                    err_msg=f"camera rays, v4={v4} frustum={frustum}",
+                )
+                # scattered rays with finite search bounds (the shadow-fan
+                # regime, where the t_max-based culls also apply). The dense
+                # path ignores t_max (true nearest); the streamed path may
+                # prune hits beyond it — so within the bound the answers
+                # must agree exactly, beyond it the stream may report a miss
+                stream_s = geometry.trace(prep, o_s, d_s, t_s)
+                dobj = np.asarray(dense_s.obj)
+                sobj = np.asarray(stream_s.obj)
+                within = np.asarray(dense_s.t) < np.asarray(t_s)
+                np.testing.assert_array_equal(
+                    dobj[within], sobj[within],
+                    err_msg=f"scattered within-bound, v4={v4} frustum={frustum}",
+                )
+                # beyond the bound a sphere hit may be pruned: the trace
+                # then reports a miss or falls back to a plane behind it
+                num_p = prep.plane_nrow.shape[0]
+                beyond_ok = (sobj == dobj) | (sobj == -1) | (sobj < num_p)
+                assert beyond_ok[~within].all(), (
+                    f"scattered beyond-bound, v4={v4} frustum={frustum}"
+                )
+    finally:
+        geometry.STREAM_THRESHOLD, st.KERNEL_V4, st.TILE_FRUSTUM = orig[0], orig[1], orig[2]
+        _force_stream(None)
+    assert int((np.asarray(dense_s.obj) >= 0).sum()) > 50
+
+
+def test_stream_cull_det_scaled_t_adversarial():
+    """Deterministic trigger for the det-scaled-t cull bug: a NEAR det=1
+    cluster (one Morton block) and a FAR det=0.008 cluster (another block)
+    on the same rays. The far spheres' reported t = t_world * det ~ 0.24
+    beats the near hit's 9.5, but their block's world-space t_enter ~ 29.5
+    exceeds t_best = 9.5 — a cull without the min-det rescale drops the
+    true (reference-semantics) winner. Verified to diverge without box
+    slot 6; must match dense exactly with it."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from kajo_tpu.ops.pallas import stream_trace as st
+    from kajo_tpu.scene.types import Camera, make_scene
+    from kajo_tpu.utils import math3d
+
+    ident = math3d.identity()
+    rng = np.random.default_rng(2)
+    jit_yz = rng.uniform(-2.0, 2.0, (128, 2)).astype(np.float32)
+    spheres = []
+    for y, z in jit_yz:  # near cluster: det 1, world radius 0.5
+        spheres.append(
+            {
+                "transform": math3d.translate(ident, [10.0, float(y), float(z)]),
+                "radius": 0.5,
+                "material": {"diffuse": np.array([0.5, 0.5, 0.5, 1], np.float32)},
+            }
+        )
+    for y, z in jit_yz:  # far cluster: uniform scale 0.2 -> det 0.008
+        m = math3d.translate(ident, [30.0, float(y), float(z)]) @ np.diag(
+            [0.2, 0.2, 0.2, 1.0]
+        ).astype(np.float32)
+        spheres.append(
+            {
+                "transform": m,
+                "radius": 2.5,  # world radius 0.5
+                "material": {"diffuse": np.array([0.5, 0.5, 0.5, 1], np.float32)},
+            }
+        )
+    camera = Camera(
+        transform=math3d.look_at([0, 0, -20], [10, 0, 0], [0, -1, 0]),
+        projection=math3d.perspective(55.0, 4.0 / 3.0, 0.1, 100.0),
+    )
+    scene = make_scene(camera, np.array([0, 0, 0, 1], np.float32), [], spheres)
+    prep = geometry.prepare_scene(scene)
+    assert not prep.rigid
+    dets = np.asarray(prep.sphere_det)
+    assert abs(dets.min() - 0.008) < 1e-4 and abs(dets.max() - 1.0) < 1e-5
+
+    # rays through both cluster members: the far (small-det) sphere must win
+    n_r = 16
+    o = jnp.asarray(
+        np.concatenate(
+            [np.zeros((n_r, 1), np.float32), jit_yz[:n_r]], axis=1
+        )
+    )
+    d = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32), (n_r, 3))
+    t_max = jnp.full((n_r,), 1e30, jnp.float32)
+
+    dense = geometry.trace(prep, o, d)
+    dobj = np.asarray(dense.obj)
+    assert (dobj >= 128).all() and (dobj < 256).all(), "far cluster must win"
+
+    orig = (geometry.STREAM_THRESHOLD, st.KERNEL_V4, st.TILE_FRUSTUM)
+    try:
+        geometry.STREAM_THRESHOLD = 64
+        _force_stream(True)
+        with pltpu.force_tpu_interpret_mode():
+            for v4, frustum in ((True, False), (False, False), (False, True)):
+                st.KERNEL_V4, st.TILE_FRUSTUM = v4, frustum
+                streamed = geometry.trace(prep, o, d)
+                np.testing.assert_array_equal(
+                    dobj, np.asarray(streamed.obj),
+                    err_msg=f"v4={v4} frustum={frustum}",
+                )
+    finally:
+        geometry.STREAM_THRESHOLD, st.KERNEL_V4, st.TILE_FRUSTUM = orig[0], orig[1], orig[2]
+        _force_stream(None)
+
+
 def test_frustum_cull_bitexact_scattered():
     """The per-tile frustum candidate lists are pure work elision: scattered
     rays with finite t_max bounds (the shadow-fan regime) give bit-identical

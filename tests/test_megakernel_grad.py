@@ -215,6 +215,44 @@ def test_jvp_kernel_radius_tangent(scene):
     assert np.abs(a[mask] - b[mask]).max() / denom < 0.02
 
 
+def test_jvp_kernel_detached_lottery(scene):
+    """Material tangents must NOT differentiate the RR/lottery compensation
+    factors (the detached-probability convention of the jax engines and the
+    PRB kernel). Regression: sphere 8 gets BOTH diffuse and specular with
+    the perturbed channel as the RR max, so p_rr and p_d move with
+    diffuse[8,0] — a jvp that differentiates 1/prob would diverge from the
+    detached reverse-mode gradient here (it agreed on the pure-diffuse case
+    by accident: there d p_rr/d diffuse[8,0] = 0 and p_d == 1)."""
+    from kajo_tpu.ops.pallas.megakernel import (
+        render_pass_megakernel_jvp,
+        scene_zero_tangent,
+    )
+
+    mats = scene.materials
+    mixed = dataclasses.replace(
+        scene,
+        materials=dataclasses.replace(
+            mats,
+            diffuse=mats.diffuse.at[8, :3].set(jnp.asarray([0.5, 0.3, 0.2])),
+            specular=mats.specular.at[8, :3].set(jnp.asarray([0.3, 0.3, 0.3])),
+            specular_exponent=mats.specular_exponent.at[8].set(40.0),
+        ),
+    )
+    tan = scene_zero_tangent(mixed)
+    tmats = tan.materials
+    tan = dataclasses.replace(
+        tan, materials=dataclasses.replace(tmats, diffuse=tmats.diffuse.at[8, 0].set(1.0))
+    )
+    with pltpu.force_tpu_interpret_mode():
+        _, img_dot = render_pass_megakernel_jvp(mixed, tan, KEY, W, H, SPP, CFG)
+        g = np.ones((H, W, 3), np.float32)
+        gr = material_grads(mixed, KEY, g, W, H, SPP, CFG)
+    a = float(np.asarray(img_dot[..., :3]).sum())
+    b = float(np.asarray(gr["diffuse"])[8, 0])
+    assert abs(a) > 1e-3  # real signal
+    np.testing.assert_allclose(a, b, rtol=1e-3)
+
+
 def test_jvp_kernel_material_tangent(scene):
     """Material tangents thread through the same jvp kernel (diffuse of the
     green sphere, matching the reverse-mode kernel's gradient)."""
