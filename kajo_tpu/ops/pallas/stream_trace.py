@@ -107,6 +107,29 @@ def _quadratic_general(rec, o, d):
     return t, valid
 
 
+def _slab_test(o, d, lo, hi, t_like):
+    """Per-ray AABB slab interval (t_enter, t_exit), the shared cull test of
+    the V1/V2/V4 kernels (identical f32 ops in identical order — the
+    kernels' bit-exactness equivalence depends on every copy agreeing).
+    ``o``/``d`` are per-axis ray component triples, ``lo``/``hi`` per-axis
+    box-bound scalars, ``t_like`` a per-ray array setting the shape."""
+    t_enter = jnp.zeros_like(t_like)
+    t_exit = jnp.full_like(t_like, BIG)
+    for ax in range(3):
+        # BIG (not inf) keeps 0 * inv == 0 when the origin sits on a face
+        inv = jnp.where(d[ax] == 0, BIG, 1.0 / jnp.where(d[ax] == 0, 1.0, d[ax]))
+        inside = (o[ax] >= lo[ax]) & (o[ax] <= hi[ax])
+        t0 = (lo[ax] - o[ax]) * inv
+        t1 = (hi[ax] - o[ax]) * inv
+        near = jnp.minimum(t0, t1)
+        far = jnp.maximum(t0, t1)
+        near = jnp.where(d[ax] == 0, jnp.where(inside, -BIG, BIG), near)
+        far = jnp.where(d[ax] == 0, jnp.where(inside, BIG, -BIG), far)
+        t_enter = jnp.maximum(t_enter, near)
+        t_exit = jnp.minimum(t_exit, far)
+    return t_enter, t_exit
+
+
 def _build_kernel(rigid: bool, block: int, fields: int):
     def kernel(order_ref, ray_ref, sph_ref, box_ref, t_ref, idx_ref):
         s = pl.program_id(1)
@@ -134,20 +157,7 @@ def _build_kernel(rigid: bool, block: int, fields: int):
         # result is exactly the full linear scan's.
         lo = (box_ref[0, 0, 0], box_ref[0, 0, 1], box_ref[0, 0, 2])
         hi = (box_ref[0, 0, 3], box_ref[0, 0, 4], box_ref[0, 0, 5])
-        t_enter = jnp.zeros_like(t_best)
-        t_exit = jnp.full_like(t_best, BIG)
-        for ax in range(3):
-            # BIG (not inf) keeps 0 * inv == 0 when the origin sits on a face
-            inv = jnp.where(d[ax] == 0, BIG, 1.0 / jnp.where(d[ax] == 0, 1.0, d[ax]))
-            inside = (o[ax] >= lo[ax]) & (o[ax] <= hi[ax])
-            t0 = (lo[ax] - o[ax]) * inv
-            t1 = (hi[ax] - o[ax]) * inv
-            near = jnp.minimum(t0, t1)
-            far = jnp.maximum(t0, t1)
-            near = jnp.where(d[ax] == 0, jnp.where(inside, -BIG, BIG), near)
-            far = jnp.where(d[ax] == 0, jnp.where(inside, BIG, -BIG), far)
-            t_enter = jnp.maximum(t_enter, near)
-            t_exit = jnp.minimum(t_exit, far)
+        t_enter, t_exit = _slab_test(o, d, lo, hi, t_best)
         # box slot 6 = block min det: reported hits are det-scaled, so
         # t_enter * min_det lower-bounds any reported t from this block
         # (rigid scenes store 1.0 — exact multiply, culls unchanged)
@@ -520,21 +530,13 @@ def _build_kernel_v2(rigid, fields, n_chunks, n_super):
         t_best = t_ref[...]
 
         # exact per-ray slab test against the superblock AABB, [R, 1]
-        t_enter = jnp.zeros_like(t_best)
-        t_exit = jnp.full_like(t_best, BIG)
-        for ax, dv, ov in ((0, dx, ox), (1, dy, oy), (2, dz, oz)):
-            lo = sbox_ref[0, 0, ax]
-            hi = sbox_ref[0, 0, 3 + ax]
-            inv = jnp.where(dv == 0, BIG, 1.0 / jnp.where(dv == 0, 1.0, dv))
-            inside = (ov >= lo) & (ov <= hi)
-            t0 = (lo - ov) * inv
-            t1 = (hi - ov) * inv
-            near = jnp.minimum(t0, t1)
-            far = jnp.maximum(t0, t1)
-            near = jnp.where(dv == 0, jnp.where(inside, -BIG, BIG), near)
-            far = jnp.where(dv == 0, jnp.where(inside, BIG, -BIG), far)
-            t_enter = jnp.maximum(t_enter, near)
-            t_exit = jnp.minimum(t_exit, far)
+        t_enter, t_exit = _slab_test(
+            (ox, oy, oz),
+            (dx, dy, dz),
+            (sbox_ref[0, 0, 0], sbox_ref[0, 0, 1], sbox_ref[0, 0, 2]),
+            (sbox_ref[0, 0, 3], sbox_ref[0, 0, 4], sbox_ref[0, 0, 5]),
+            t_best,
+        )
         # slot 6 = superblock min det (det-scaled-t lower bound, see V1)
         may = (t_exit >= t_enter) & (t_enter * sbox_ref[0, 0, 6] < t_best)
 
@@ -957,21 +959,7 @@ def _build_kernel_v4(rigid, fields, n_outer, sub, subblock, rr):
             t_best = tacc[rowsl, :]
             lo = (box_ref[0, j, 0], box_ref[0, j, 1], box_ref[0, j, 2])
             hi = (box_ref[0, j, 3], box_ref[0, j, 4], box_ref[0, j, 5])
-            t_enter = jnp.zeros_like(t_best)
-            t_exit = jnp.full_like(t_best, BIG)
-            for ax in range(3):
-                inv = jnp.where(
-                    d[ax] == 0, BIG, 1.0 / jnp.where(d[ax] == 0, 1.0, d[ax])
-                )
-                inside = (o[ax] >= lo[ax]) & (o[ax] <= hi[ax])
-                t0 = (lo[ax] - o[ax]) * inv
-                t1 = (hi[ax] - o[ax]) * inv
-                near = jnp.minimum(t0, t1)
-                far = jnp.maximum(t0, t1)
-                near = jnp.where(d[ax] == 0, jnp.where(inside, -BIG, BIG), near)
-                far = jnp.where(d[ax] == 0, jnp.where(inside, BIG, -BIG), far)
-                t_enter = jnp.maximum(t_enter, near)
-                t_exit = jnp.minimum(t_exit, far)
+            t_enter, t_exit = _slab_test(o, d, lo, hi, t_best)
             # slot 6 = sub-block min det (det-scaled-t lower bound, see V1)
             may_hit = (t_exit >= t_enter) & (
                 t_enter * box_ref[0, j, 6] < t_best
