@@ -229,6 +229,7 @@ def main():
     # big-scene scaling row (BASELINE config 5): 100k spheres through the
     # Pallas streaming trace with Morton block culling
     bigscene_samples_per_s = None
+    bigscene_nonrigid_samples_per_s = None
     bigscene_sphere_tests_per_s = None
     try:
         from kajo_tpu.models.wavefront import render_pass_fast as rpf
@@ -246,6 +247,24 @@ def main():
             img_b = rpf(big, jax.random.fold_in(key, i + 1), bw, bh, bspp, bcfg)
         img_b.block_until_ready()
         bigscene_samples_per_s = round(4 * bw * bh * bspp / (time.time() - t0))
+
+        # NON-RIGID big scene (general object-space layout, det-scaled t):
+        # the same config with per-sphere rotations + scales — streams 56 B
+        # per sphere instead of 16, the layout the reference's scaled scenes
+        # would use
+        try:
+            bignr = random_spheres_scene(100_000, seed=0, extent=60.0, scale_jitter=0.5)
+            img_n = rpf(bignr, key, bw, bh, bspp, bcfg)
+            img_n.block_until_ready()
+            t0 = time.time()
+            for i in range(2):
+                img_n = rpf(bignr, jax.random.fold_in(key, i + 1), bw, bh, bspp, bcfg)
+            img_n.block_until_ready()
+            bigscene_nonrigid_samples_per_s = round(
+                2 * bw * bh * bspp / (time.time() - t0)
+            )
+        except Exception:
+            pass
 
         # streaming-trace roofline: effective sphere-tests/s on primary rays
         from kajo_tpu.ops.geometry import generate_rays, prepare_scene
@@ -296,6 +315,7 @@ def main():
         "rays_per_s": rays_per_s,
         "caustics_samples_per_s": caustics_rate,
         "bigscene_100k_samples_per_s": bigscene_samples_per_s,
+        "bigscene_nonrigid_samples_per_s": bigscene_nonrigid_samples_per_s,
         "bigscene_sphere_tests_per_s": bigscene_sphere_tests_per_s,
         "engine": engine,
         "device": str(jax.devices()[0]),

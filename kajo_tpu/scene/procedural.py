@@ -22,9 +22,16 @@ def random_spheres_scene(
     extent: float = 60.0,
     n_lights: int = 4,
     aspect_ratio: float = 4.0 / 3.0,
+    scale_jitter: float = 0.0,
 ) -> Scene:
     """A field of small diffuse/specular spheres over a ground plane with a
-    few emissive spheres, camera looking across the field."""
+    few emissive spheres, camera looking across the field.
+
+    ``scale_jitter`` > 0 makes the scene NON-RIGID: each sphere's transform
+    gains a rotation and a uniform scale in [1/(1+j), 1+j] (its radius is
+    divided by the scale so the world silhouette stays comparable). This
+    exercises the big-scene general (object-space, det-scaled-t) layout —
+    dets span roughly (1+j)^-3 .. (1+j)^3."""
     rng = np.random.default_rng(seed)
     ident = math3d.identity()
 
@@ -37,6 +44,13 @@ def random_spheres_scene(
     hues = rng.uniform(0.2, 1.0, (n_spheres, 3)).astype(np.float32)
     shiny = rng.uniform(0, 1, n_spheres) < 0.2
 
+    if scale_jitter > 0.0:
+        scales = np.exp(
+            rng.uniform(-np.log1p(scale_jitter), np.log1p(scale_jitter), n_spheres)
+        ).astype(np.float32)
+        angles = rng.uniform(0.0, 360.0, n_spheres).astype(np.float32)
+        axes = rng.normal(size=(n_spheres, 3)).astype(np.float32)
+
     for i in range(n_spheres):
         material = {"diffuse": np.append(hues[i], 1.0)}
         if shiny[i]:
@@ -44,10 +58,19 @@ def random_spheres_scene(
                 "specular": np.append(hues[i], 1.0),
                 "specular_exponent": float(rng.integers(20, 200)),
             }
+        transform = math3d.translate(ident, pos[i])
+        radius = float(radii[i])
+        if scale_jitter > 0.0:
+            s = float(scales[i])
+            transform = (
+                math3d.rotate(transform, float(angles[i]), axes[i])
+                @ np.diag([s, s, s, 1.0]).astype(np.float32)
+            )
+            radius /= s  # world silhouette stays ~radii[i]
         spheres.append(
             {
-                "transform": math3d.translate(ident, pos[i]),
-                "radius": float(radii[i]),
+                "transform": transform,
+                "radius": radius,
                 "material": material,
             }
         )

@@ -110,6 +110,38 @@ def test_stream_trace_matches_dense_nonrigid():
     assert np.percentile(cos[hit], 0.5) > 0.999
 
 
+def test_procedural_nonrigid_streams_match_dense():
+    """random_spheres_scene(scale_jitter=...) produces a non-rigid scene
+    (rotations + uniform scales, dets spread ~(1+j)^-3..(1+j)^3) whose
+    streaming trace matches the dense path — the procedural generator for
+    the config-5-nonrigid bench row."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    scene = random_spheres_scene(600, seed=9, extent=20.0, n_lights=2, scale_jitter=0.6)
+    assert not scene.rigid_spheres
+    prep = geometry.prepare_scene(scene)
+    dets = np.asarray(prep.sphere_det)
+    assert dets.min() < 0.5 and dets.max() > 2.0
+
+    xs, ys = jnp.meshgrid(jnp.linspace(0.02, 0.98, 32), jnp.linspace(0.02, 0.98, 24))
+    o, d = geometry.generate_rays(prep.camera, xs.ravel(), ys.ravel())
+    dense = geometry.trace(prep, o, d)
+    orig = geometry.STREAM_THRESHOLD
+    try:
+        geometry.STREAM_THRESHOLD = 64
+        _force_stream(True)
+        with pltpu.force_tpu_interpret_mode():
+            streamed = geometry.trace(prep, o, d)
+    finally:
+        geometry.STREAM_THRESHOLD = orig
+        _force_stream(None)
+    np.testing.assert_array_equal(np.asarray(dense.obj), np.asarray(streamed.obj))
+    # dense path uses HIGHEST-precision matmuls for the object-space ray
+    # transform, the kernel explicit FMAs; 0.6 scale jitter worsens the
+    # quadratic's conditioning -> slightly looser than the rigid gate
+    np.testing.assert_allclose(np.asarray(dense.t), np.asarray(streamed.t), rtol=3e-4)
+
+
 def test_stream_cull_det_scaled_t():
     """Det-scaled hit distances vs world-space culling: the reference's
     Raytracer.cpp:70 semantics report t = t_loc * det, so a sphere with
