@@ -84,3 +84,16 @@ def test_lockstep_spheres_scene(tape_driver):
     )
     frac, rel = _gate(ours, theirs, leftover, frac=0.93, tol=1e-3)
     assert np.median(rel) < 5e-5, np.median(rel)
+
+
+def test_lockstep_scaled_scene(tape_driver):
+    """data/scaled.json: NON-RIGID sphere transforms (uniform scales 0.5-2
+    plus a rotation) — per-sample validation that our general object-space
+    layout replicates the reference's determinant-scaled hit distances
+    (Raytracer.cpp:70) EXACTLY, including their effect on nearest-hit
+    ordering, NEE visibility and MIS weights. The statistical golden gates
+    can't see a det-semantics slip this small; the tape can."""
+    scene_path = os.path.join(REPO, "data", "scaled.json")
+    ours, theirs, leftover = _run_lockstep(tape_driver, scene_path, n_pixels=50)
+    frac, rel = _gate(ours, theirs, leftover, frac=0.95, tol=1e-3)
+    assert np.median(rel) < 5e-5, np.median(rel)
