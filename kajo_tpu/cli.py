@@ -36,6 +36,21 @@ def build_argparser() -> argparse.ArgumentParser:
         help="renderer backend (jax; cpu/gl accepted as aliases for parity)",
     )
     p.add_argument("scene", nargs="?", default=None, help="scene JSON (default: built-in test scene)")
+    p.add_argument(
+        "--procedural",
+        type=int,
+        default=0,
+        metavar="N",
+        help="render the N-sphere procedural field instead of a scene file "
+        "(the big-scene scaling config; exercises the streaming trace)",
+    )
+    p.add_argument(
+        "--scale-jitter",
+        type=float,
+        default=0.0,
+        help="with --procedural: per-sphere rotations + uniform scales in "
+        "[1/(1+j), 1+j] (non-rigid object-space trace layout)",
+    )
     p.add_argument("--spp", type=int, default=32, help="samples/pixel/pass (32, kajo default)")
     p.add_argument("--passes", type=int, default=8, help="progressive passes (8; 0 = run until Ctrl-C)")
     p.add_argument("--depth", type=int, default=8, help="max path depth (8)")
@@ -108,7 +123,16 @@ def main(argv=None) -> int:
     from .utils.format import format_si
     from .utils.image import save_png
 
-    if args.scene:
+    if args.procedural > 0:
+        from .scene.procedural import random_spheres_scene
+
+        scene = random_spheres_scene(
+            args.procedural,
+            seed=args.seed,
+            aspect_ratio=args.width / args.height,
+            scale_jitter=args.scale_jitter,
+        )
+    elif args.scene:
         scene = parser.load(args.scene, args.width / args.height)
     else:
         # the reference hardcodes a 4:3 projection for its built-in scene
@@ -136,7 +160,11 @@ def main(argv=None) -> int:
     # accumulation (resuming a different scene/seed/config would silently
     # mix unrelated renders)
     ck_meta = dict(
-        scene=str(args.scene or "<builtin>"),
+        scene=(
+            f"<procedural:{args.procedural}:{args.scale_jitter}>"
+            if args.procedural > 0
+            else str(args.scene or "<builtin>")
+        ),
         width=args.width,
         height=args.height,
         spp=args.spp,

@@ -44,6 +44,21 @@ def test_builtin_test_scene(tmp_path):
     assert out.exists()
 
 
+def test_procedural_scene(tmp_path):
+    """--procedural N renders the big-scene scaling config from the CLI
+    (scene JSONs cannot express it); --scale-jitter takes the non-rigid
+    general trace layout."""
+    out = tmp_path / "p.png"
+    r = run_cli(["-w", "24", "-h", "18", "--spp", "4", "--passes", "1",
+                 "--procedural", "200", "--scale-jitter", "0.4", "-o", str(out)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    from kajo_tpu.utils.image import load_png
+
+    img = load_png(str(out))
+    assert img.shape == (18, 24, 4)
+    assert img[..., :3].mean() > 1  # not black
+
+
 def test_checkpoint_resume(tmp_path):
     out = tmp_path / "c.png"
     ck = tmp_path / "state.npz"
