@@ -443,6 +443,14 @@ def render_lanes(
     return rad, state["iters"]
 
 
+# jax.checkpoint on the budget scan body (trades ~n_iters x activation
+# memory for one recompute on the backward pass). Tests flip this off when
+# gradding through INTERPRET-mode pallas calls: their io_callback effect
+# cannot be partial-eval'd under remat (a jax limitation the compiled TPU
+# path doesn't have).
+BUDGET_REMAT: bool = True
+
+
 def render_lanes_budget(prep, lane, seed, width, height, eff_spp, grid, config, n_iters):
     """Differentiable engine: the same regenerating body under a fixed-length
     remat'd scan. Runs ``n_iters`` wavefront iterations; samples still in
@@ -452,8 +460,10 @@ def render_lanes_budget(prep, lane, seed, width, height, eff_spp, grid, config, 
     across lanes, standard progressive-rendering semantics). Returns
     (radiance_sum [N,3], completed_samples [N])."""
     state, _, body = _make_loop(prep, lane, seed, width, height, eff_spp, grid, config)
-    body_scan = jax.checkpoint(lambda c, _: (body(c), None), prevent_cse=False)
-    state, _ = jax.lax.scan(body_scan, state, None, length=n_iters)
+    body_fn = lambda c, _: (body(c), None)
+    if BUDGET_REMAT:
+        body_fn = jax.checkpoint(body_fn, prevent_cse=False)
+    state, _ = jax.lax.scan(body_fn, state, None, length=n_iters)
     return state["radiance"], jnp.minimum(state["sample"], eff_spp)
 
 

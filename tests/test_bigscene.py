@@ -110,6 +110,58 @@ def test_stream_trace_matches_dense_nonrigid():
     assert np.percentile(cos[hit], 0.5) > 0.999
 
 
+def test_budget_grad_through_streaming_matches_dense():
+    """End-to-end inverse rendering at scale: jax.grad of the budget
+    wavefront render w.r.t. every sphere radius, with BOTH the camera/bounce
+    traces and the NEE visibility queries going through the streaming
+    kernel's custom_vjp. The streamed forward is bit-exact vs dense, so the
+    same paths are taken and the gradient must match the dense-path
+    autodiff up to float reassociation."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from kajo_tpu.models.integrator import RenderConfig
+    from kajo_tpu.models.wavefront import render_pass_budget
+
+    scene = jax.tree.map(jnp.asarray, random_spheres_scene(200, seed=21, extent=15.0, n_lights=2))
+    cfg = RenderConfig(max_depth=2)
+    key = jax.random.PRNGKey(11)
+
+    def loss(rad):
+        s2 = dataclasses.replace(scene, sphere_radius=rad)
+        im = render_pass_budget(s2, key, 12, 9, 4, cfg)
+        return jnp.mean(im[..., :3])
+
+    import kajo_tpu.models.wavefront as wf
+
+    rad0 = jnp.asarray(scene.sphere_radius)
+    g_dense = np.asarray(jax.grad(loss)(rad0))
+    orig = (geometry.STREAM_THRESHOLD, wf.BUDGET_REMAT)
+    try:
+        geometry.STREAM_THRESHOLD = 64
+        # interpret-mode pallas callbacks can't live under jax.checkpoint
+        # (OrderedIOEffect in remat partial-eval); the compiled TPU path can
+        wf.BUDGET_REMAT = False
+        _force_stream(True)
+        with pltpu.force_tpu_interpret_mode():
+            g_stream = np.asarray(jax.grad(loss)(rad0))
+    finally:
+        geometry.STREAM_THRESHOLD, wf.BUDGET_REMAT = orig
+        _force_stream(None)
+    assert np.isfinite(g_stream).all()
+    assert np.abs(g_dense).max() > 0  # real signal
+    # identical paths -> same gradient structure. Per-element: the vjp's
+    # scalar hit recompute vs the dense path's HIGHEST-precision matmuls
+    # differ at ~1e-4 in t, which dt/dr amplifies near grazing hits — a few
+    # percent on isolated entries; the direction gate below is the tight one
+    big = np.abs(g_dense) > 1e-3 * np.abs(g_dense).max()
+    np.testing.assert_allclose(g_stream[big], g_dense[big], rtol=0.1)
+    cos = float(
+        (g_stream * g_dense).sum()
+        / max(np.linalg.norm(g_stream) * np.linalg.norm(g_dense), 1e-30)
+    )
+    assert cos > 0.999, cos
+
+
 def test_procedural_nonrigid_streams_match_dense():
     """random_spheres_scene(scale_jitter=...) produces a non-rigid scene
     (rotations + uniform scales, dets spread ~(1+j)^-3..(1+j)^3) whose
