@@ -256,12 +256,14 @@ def main():
             bignr = random_spheres_scene(100_000, seed=0, extent=60.0, scale_jitter=0.5)
             img_n = rpf(bignr, key, bw, bh, bspp, bcfg)
             img_n.block_until_ready()
+            img_n = rpf(bignr, jax.random.fold_in(key, 99), bw, bh, bspp, bcfg)
+            img_n.block_until_ready()  # second warmup, like the rigid row
             t0 = time.time()
-            for i in range(2):
+            for i in range(4):
                 img_n = rpf(bignr, jax.random.fold_in(key, i + 1), bw, bh, bspp, bcfg)
             img_n.block_until_ready()
             bigscene_nonrigid_samples_per_s = round(
-                2 * bw * bh * bspp / (time.time() - t0)
+                4 * bw * bh * bspp / (time.time() - t0)
             )
         except Exception:
             pass

@@ -123,6 +123,9 @@ def main(argv=None) -> int:
     from .utils.format import format_si
     from .utils.image import save_png
 
+    if args.procedural > 0 and args.scene:
+        print("error: give either a scene file or --procedural, not both", file=sys.stderr)
+        return 2
     if args.procedural > 0:
         from .scene.procedural import random_spheres_scene
 

@@ -406,11 +406,16 @@ def _make_loop(
             iters=state["iters"] + 1,
             # one continuation/camera trace per live lane + one NEE shadow
             # trace per scattering lane (x num_lights unless one-of-L
-            # light sampling collapses the shadow fan to a single ray)
+            # light sampling collapses the shadow fan to a single ray;
+            # zero with direct lighting disabled — no NEE block runs)
             rays=state["rays"]
             + jnp.sum(active.astype(jnp.float32))
             + jnp.sum(scatter.astype(jnp.float32))
-            * (1 if config.one_light_nee and num_lights > 1 else num_lights),
+            * (
+                0
+                if not config.direct_lighting
+                else (1 if config.one_light_nee and num_lights > 1 else num_lights)
+            ),
         )
         if reorder:
             new_state["lane"] = lane_b

@@ -114,7 +114,10 @@ def _pad_prep_spheres(prep: PreparedScene, s_pad: int) -> PreparedScene:
         sphere_inv3=padn(prep.sphere_inv3),
         sphere_invt=padn(prep.sphere_invt),
         sphere_fwd3=padn(prep.sphere_fwd3),
-        sphere_det=padn(prep.sphere_det),
+        # large, not 0: a det-0 pad would zero its block's min-det cull
+        # bound in the shard's stream packing (pads are unhittable either
+        # way — inv3 = 0 makes the quadratic's a == 0 -> invalid)
+        sphere_det=padn(prep.sphere_det, 1e30),
     )
 
 
