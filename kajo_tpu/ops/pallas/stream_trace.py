@@ -59,6 +59,14 @@ NEAR_FAR_ORDER: bool = False
 # overhead is small next to visited-block compute)
 SPH_BLOCK_RIGID = 128   # spheres per streamed SMEM block (2 KB)
 SPH_BLOCK_GENERAL = 128  # 7 KB
+# Physically sort whole Morton blocks near-to-far from the camera at pack
+# time (see build_stream_scene). Global visit order, zero per-trace cost,
+# sequential DMA. MEASURED (real TPU, 100k spheres, same process, same
+# compiled fn, data-only A/B — tools/ftb_ab.py): primaries 0.22 -> 0.19 ms
+# (1.19x), scattered 22.9 -> 22.9 ms (1.00x), winners identical. The
+# scattered regime is compute-bound on blocks the tile genuinely spans, so
+# ordering can't help it; primaries get the occlusion early-out sooner.
+FRONT_TO_BACK: bool = True
 _F_RIGID = 4
 _F_GENERAL = 14
 
@@ -1183,6 +1191,33 @@ def build_stream_scene(prep):
         [lo - slack, hi + slack, mind, jnp.zeros((n_blocks, 1), jnp.float32)],
         axis=1,
     )[:, None, :]
+
+    # perm padded to s_pad so a whole-BLOCK permutation below can carry it
+    # along (padding rows never win — r2 = -1 — so their mapping is unused)
+    perm = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)], axis=0)
+
+    if FRONT_TO_BACK and n_blocks > 1:
+        # Visit order = array order for the streaming kernels (V4's outer
+        # grid axis walks blocks sequentially), so physically sort whole
+        # Morton blocks near-to-far FROM THE CAMERA: primary tiles then
+        # tighten t_best on the first blocks and slab-cull everything behind
+        # their hits, and bounce/NEE tiles (origins on camera-visible
+        # surfaces) inherit most of that ordering. Block contents (and their
+        # AABBs) are untouched, DMA reads stay sequential in the permuted
+        # array — the reason per-tile index-map orders lost (NEAR_FAR_ORDER
+        # above) does not apply. Pure visitation order: the strict `t <
+        # t_best` winner is order-independent, so results match the dense
+        # scan everywhere except exact-f32 t ties between distinct spheres.
+        cam = jax.lax.stop_gradient(prep.camera.origin)
+        # squared distance from the camera to each block's AABB (0 inside)
+        gap = jnp.maximum(lo - cam[None, :], 0.0) + jnp.maximum(
+            cam[None, :] - hi, 0.0
+        )
+        order = jnp.argsort(jnp.sum(gap * gap, axis=1))
+        packed = packed.reshape(n_blocks, block, -1)[order].reshape(s_pad, -1)
+        boxes = boxes[order]
+        perm = perm.reshape(n_blocks, block)[order].reshape(s_pad)
+
     return packed, boxes, perm
 
 

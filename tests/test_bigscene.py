@@ -45,6 +45,45 @@ def _force_stream(on):
     geometry.FORCE_STREAM = on
 
 
+def test_front_to_back_is_pure_visitation_order():
+    """The camera-distance block sort (stream_trace.FRONT_TO_BACK) is a pack
+    -time data permutation: winners and hit distances are identical to the
+    raw Morton order, for primary AND scattered rays."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from kajo_tpu.ops.pallas import stream_trace as st
+
+    scene = random_spheres_scene(600, seed=11, extent=20.0, n_lights=1)
+    prep = geometry.prepare_scene(scene)
+    xs, ys = jnp.meshgrid(jnp.linspace(0.02, 0.98, 32), jnp.linspace(0.02, 0.98, 16))
+    o_pri, d_pri = geometry.generate_rays(prep.camera, xs.ravel(), ys.ravel())
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    o_sc = jax.random.uniform(k1, o_pri.shape, minval=-18.0, maxval=18.0)
+    d_sc = jax.random.normal(k2, d_pri.shape)
+    d_sc = d_sc / jnp.linalg.norm(d_sc, axis=-1, keepdims=True)
+    o = jnp.concatenate([o_pri, o_sc])
+    d = jnp.concatenate([d_pri, d_sc])
+
+    from kajo_tpu.ops.pallas.stream_trace import nearest_sphere
+
+    orig = geometry.STREAM_THRESHOLD
+    saved = st.FRONT_TO_BACK
+    try:
+        geometry.STREAM_THRESHOLD = 64
+        _force_stream(True)
+        with pltpu.force_tpu_interpret_mode():
+            st.FRONT_TO_BACK = False
+            t_off, i_off = nearest_sphere(prep, o, d)
+            st.FRONT_TO_BACK = True
+            t_on, i_on = nearest_sphere(prep, o, d)
+    finally:
+        geometry.STREAM_THRESHOLD = orig
+        st.FRONT_TO_BACK = saved
+        _force_stream(None)
+    np.testing.assert_array_equal(np.asarray(i_off), np.asarray(i_on))
+    np.testing.assert_array_equal(np.asarray(t_off), np.asarray(t_on))
+
+
 def test_stream_trace_matches_dense_rigid():
     """Pallas streaming kernel (interpret mode) == dense path, exactly."""
     from jax.experimental.pallas import tpu as pltpu
