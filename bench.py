@@ -10,10 +10,21 @@ the same scene/config. "Samples" are full MIS path-tracing samples per pixel
 sides compute the same estimator, so samples/s is the honest end-to-end
 comparison. Extras report rays/s (primary + NEE shadow + bounce rays actually
 traced by our wavefront) and the fwd+bwd (gradient) rate.
+
+Variance robustness: every headline metric is the MEDIAN of >= 3 independently
+timed groups; the headline also reports spread_pct = (max-min)/median over its
+groups so a cross-process move can be attributed (TPU process variance on this
+axon runtime was measured at +-30% for single-group timings, docs/ROUND2.md).
+
+`python bench.py --ab` additionally re-times the big-scene row under the
+round-1 stream-trace defaults (V1 kernel, no ray reordering, FRONT_TO_BACK
+off) in the SAME process, so a default-change regression separates from
+process variance in one run.
 """
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -27,7 +38,6 @@ W, H, SPP = 512, 384, 16
 FALLBACK_BASELINE_SAMPLES_PER_S = 11.2e6
 
 
-
 def _enable_compile_cache():
     """Persistent compile cache: re-runs skip the (remote) TPU compile."""
     import os
@@ -38,6 +48,30 @@ def _enable_compile_cache():
     os.makedirs(d, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def timed_groups(fn, samples_per_iter, groups=3, iters=5, sync=None):
+    """Median-of-groups throughput. ``fn(i)`` runs one iteration (i is a
+    global iteration counter so RNG keys stay distinct); ``sync(out)`` forces
+    completion of the last result (default: jax.block_until_ready). Returns
+    (median samples/s, spread fraction (max-min)/median)."""
+    import jax
+
+    sync = sync or jax.block_until_ready
+    rates = []
+    k = 0
+    for _ in range(groups):
+        t0 = time.time()
+        out = None
+        for _ in range(iters):
+            out = fn(k)
+            k += 1
+        sync(out)
+        dt = time.time() - t0
+        rates.append(iters * samples_per_iter / dt)
+    med = statistics.median(rates)
+    spread = (max(rates) - min(rates)) / med if med else 0.0
+    return med, spread
 
 
 def measure_reference():
@@ -62,6 +96,7 @@ def measure_reference():
 
 
 def main():
+    ab_mode = "--ab" in sys.argv[1:]
     baseline, live = measure_reference()
 
     import jax
@@ -69,7 +104,7 @@ def main():
     _enable_compile_cache()
 
     from kajo_tpu.models.engine import render_pass_engine, select_engine
-    from kajo_tpu.models.integrator import RenderConfig, render_pass
+    from kajo_tpu.models.integrator import RenderConfig
     from kajo_tpu.scene import parser
 
     scene = parser.load(SCENE, W / H)
@@ -83,13 +118,15 @@ def main():
     # warmup/compile
     render_pass_engine(engine, scene, key, W, H, SPP, config).block_until_ready()
 
-    n_timed = 20 if engine == "mega" else 3
-    t0 = time.time()
-    for i in range(n_timed):
-        img = render_pass_engine(engine, scene, jax.random.fold_in(key, i + 1), W, H, SPP, config)
-    img.block_until_ready()
-    dt = time.time() - t0
-    samples_per_s = n_timed * samples_per_pass / dt
+    iters = 7 if engine == "mega" else 2
+    samples_per_s, headline_spread = timed_groups(
+        lambda i: render_pass_engine(
+            engine, scene, jax.random.fold_in(key, i + 1), W, H, SPP, config
+        ),
+        samples_per_pass,
+        groups=3,
+        iters=iters,
+    )
 
     # fwd+bwd (config-4 rate): fused Pallas forward + PRB backward kernels
     # for material-space gradients; geometry grads use the jax budget engine
@@ -102,16 +139,23 @@ def main():
 
         gcot = jnp.ones((H, W, 3), jnp.float32)
         np.asarray(material_grads(scene, key, gcot, W, H, SPP, config)["diffuse"])  # compile
-        n_g = 10
-        t0 = time.time()
-        for i in range(n_g):
-            img2 = render_pass_engine(engine, scene, jax.random.fold_in(key, 50 + i), W, H, SPP, config)
+
+        def grad_iter(i):
+            img2 = render_pass_engine(
+                engine, scene, jax.random.fold_in(key, 50 + i), W, H, SPP, config
+            )
             gr = material_grads(scene, jax.random.fold_in(key, 50 + i), gcot, W, H, SPP, config)
+            return (img2, gr["diffuse"])
+
         # force real synchronization (block_until_ready returns early on this
         # runtime for small outputs): host-transfer a value from each result
-        _ = float(np.asarray(gr["diffuse"]).sum()) + float(np.asarray(img2)[0, 0, 0])
-        dt_g = time.time() - t0
-        grad_samples_per_s = n_g * samples_per_pass / dt_g
+        def grad_sync(out):
+            img2, gd = out
+            return float(np.asarray(gd).sum()) + float(np.asarray(img2)[0, 0, 0])
+
+        grad_samples_per_s, _ = timed_groups(
+            grad_iter, samples_per_pass, groups=3, iters=4, sync=grad_sync
+        )
     else:
         import jax.numpy as jnp
 
@@ -169,14 +213,22 @@ def main():
             gcot2 = jnp.ones((H, W, 3), jnp.float32)
             gg = geometry_grads(scene, key, gcot2, W, H, SPP, config)
             _ = float(np.asarray(gg["center"]).sum())  # compile + sync
-            n_gg = 5
-            t0 = time.time()
-            for i in range(n_gg):
-                gg = geometry_grads(
-                    scene, jax.random.fold_in(key, 70 + i), gcot2, W, H, SPP, config
+
+            def gg_sync(out):
+                return float(np.asarray(out["center"]).sum()) + float(
+                    np.asarray(out["radius"]).sum()
                 )
-            _ = float(np.asarray(gg["center"]).sum()) + float(np.asarray(gg["radius"]).sum())
-            geom_kernel_grad_samples_per_s = round(n_gg * samples_per_pass / (time.time() - t0))
+
+            geom_kernel_grad_samples_per_s, _ = timed_groups(
+                lambda i: geometry_grads(
+                    scene, jax.random.fold_in(key, 70 + i), gcot2, W, H, SPP, config
+                ),
+                samples_per_pass,
+                groups=3,
+                iters=3,
+                sync=gg_sync,
+            )
+            geom_kernel_grad_samples_per_s = round(geom_kernel_grad_samples_per_s)
         except Exception:
             pass
 
@@ -185,10 +237,10 @@ def main():
     try:
         from kajo_tpu.models.wavefront import render_pass_fast_stats
 
-        img_s, iters, rays = render_pass_fast_stats(scene, key, W, H, SPP, config)
+        img_s, iters_w, rays = render_pass_fast_stats(scene, key, W, H, SPP, config)
         jax.block_until_ready(img_s)
         t0 = time.time()
-        img_s, iters, rays = render_pass_fast_stats(
+        img_s, iters_w, rays = render_pass_fast_stats(
             scene, jax.random.fold_in(key, 77), W, H, SPP, config
         )
         total_rays = float(rays)
@@ -216,13 +268,21 @@ def main():
         )
         img_j, dot_j = render_pass_megakernel_jvp(scene, tan, key, W, H, SPP, config)
         jax.block_until_ready(dot_j)
-        t0 = time.time()
-        for i in range(5):
-            img_j, dot_j = render_pass_megakernel_jvp(
+
+        def jvp_sync(out):
+            img_j, dot_j = out
+            return float(np.asarray(dot_j)[0, 0, 0]) + float(np.asarray(img_j)[0, 0, 0])
+
+        fwd_tangent_samples_per_s, _ = timed_groups(
+            lambda i: render_pass_megakernel_jvp(
                 scene, tan, jax.random.fold_in(key, 60 + i), W, H, SPP, config
-            )
-        _ = float(np.asarray(dot_j)[0, 0, 0]) + float(np.asarray(img_j)[0, 0, 0])
-        fwd_tangent_samples_per_s = round(5 * samples_per_pass / (time.time() - t0))
+            ),
+            samples_per_pass,
+            groups=3,
+            iters=3,
+            sync=jvp_sync,
+        )
+        fwd_tangent_samples_per_s = round(fwd_tangent_samples_per_s)
     except Exception:
         pass
 
@@ -231,6 +291,7 @@ def main():
     bigscene_samples_per_s = None
     bigscene_nonrigid_samples_per_s = None
     bigscene_sphere_tests_per_s = None
+    bigscene_r1_defaults_samples_per_s = None
     try:
         from kajo_tpu.models.wavefront import render_pass_fast as rpf
         from kajo_tpu.scene.procedural import random_spheres_scene
@@ -238,15 +299,53 @@ def main():
         big = random_spheres_scene(100_000, seed=0, extent=60.0)
         bcfg = RenderConfig(max_depth=2)
         bw, bh, bspp = 128, 96, 4
+        big_samples = bw * bh * bspp
         img_b = rpf(big, key, bw, bh, bspp, bcfg)
         img_b.block_until_ready()
         img_b = rpf(big, jax.random.fold_in(key, 99), bw, bh, bspp, bcfg)
         img_b.block_until_ready()  # second warmup: first post-compile pass is cold
-        t0 = time.time()
-        for i in range(4):
-            img_b = rpf(big, jax.random.fold_in(key, i + 1), bw, bh, bspp, bcfg)
-        img_b.block_until_ready()
-        bigscene_samples_per_s = round(4 * bw * bh * bspp / (time.time() - t0))
+        bigscene_samples_per_s, _ = timed_groups(
+            lambda i: rpf(big, jax.random.fold_in(key, i + 1), bw, bh, bspp, bcfg),
+            big_samples,
+            groups=3,
+            iters=2,
+        )
+        bigscene_samples_per_s = round(bigscene_samples_per_s)
+
+        if ab_mode:
+            # A/B: round-1 stream-trace defaults in the SAME process — V1
+            # kernel (sphere blocks inner), no ray reordering, raw Morton
+            # block order. Isolates default-change effects from process
+            # variance for the big-scene row.
+            from kajo_tpu.ops import geometry as geo
+            from kajo_tpu.ops.pallas import stream_trace as st
+
+            old = (st.KERNEL_V4, geo.SORT_STREAM_RAYS, st.FRONT_TO_BACK)
+            try:
+                st.KERNEL_V4 = False
+                geo.SORT_STREAM_RAYS = False
+                st.FRONT_TO_BACK = False
+                # 100_001 spheres: a distinct array shape forces a fresh jit
+                # trace, so the flipped module flags are actually honored
+                # (the 100_000-sphere executable above is shape-cached)
+                big_r1 = random_spheres_scene(100_001, seed=0, extent=60.0)
+                img_r1 = rpf(big_r1, key, bw, bh, bspp, bcfg)
+                img_r1.block_until_ready()
+                img_r1 = rpf(big_r1, jax.random.fold_in(key, 99), bw, bh, bspp, bcfg)
+                img_r1.block_until_ready()
+                bigscene_r1_defaults_samples_per_s, _ = timed_groups(
+                    lambda i: rpf(
+                        big_r1, jax.random.fold_in(key, i + 1), bw, bh, bspp, bcfg
+                    ),
+                    big_samples,
+                    groups=3,
+                    iters=2,
+                )
+                bigscene_r1_defaults_samples_per_s = round(
+                    bigscene_r1_defaults_samples_per_s
+                )
+            finally:
+                st.KERNEL_V4, geo.SORT_STREAM_RAYS, st.FRONT_TO_BACK = old
 
         # NON-RIGID big scene (general object-space layout, det-scaled t):
         # the same config with per-sphere rotations + scales — streams 56 B
@@ -258,13 +357,13 @@ def main():
             img_n.block_until_ready()
             img_n = rpf(bignr, jax.random.fold_in(key, 99), bw, bh, bspp, bcfg)
             img_n.block_until_ready()  # second warmup, like the rigid row
-            t0 = time.time()
-            for i in range(4):
-                img_n = rpf(bignr, jax.random.fold_in(key, i + 1), bw, bh, bspp, bcfg)
-            img_n.block_until_ready()
-            bigscene_nonrigid_samples_per_s = round(
-                4 * bw * bh * bspp / (time.time() - t0)
+            bigscene_nonrigid_samples_per_s, _ = timed_groups(
+                lambda i: rpf(bignr, jax.random.fold_in(key, i + 1), bw, bh, bspp, bcfg),
+                big_samples,
+                groups=3,
+                iters=2,
             )
+            bigscene_nonrigid_samples_per_s = round(bigscene_nonrigid_samples_per_s)
         except Exception:
             pass
 
@@ -279,11 +378,33 @@ def main():
         ob, db = generate_rays(prep_b.camera, xs.ravel(), ys.ravel())
         tf = jax.jit(lambda o, d: nearest_sphere(prep_b, o, d))
         jax.block_until_ready(tf(ob, db))
-        t0 = time.time()
-        for i in range(5):
-            tb, ib = tf(ob, db)
-        jax.block_until_ready(tb)
-        bigscene_sphere_tests_per_s = round(5 * bw * bh * 100_000 / (time.time() - t0))
+        bigscene_sphere_tests_per_s, _ = timed_groups(
+            lambda i: tf(ob, db)[0],
+            bw * bh * 100_000,
+            groups=3,
+            iters=5,
+        )
+        bigscene_sphere_tests_per_s = round(bigscene_sphere_tests_per_s)
+    except Exception:
+        pass
+
+    # NON-RIGID megakernel row: data/scaled.json (general object-space
+    # record, det-scaled t, fwd3 normals) through the fused kernel — the
+    # scene class that used to fall off to the ~2-7M samples/s jax wavefront
+    nonrigid_mega_samples_per_s = None
+    try:
+        scene_nr = parser.load(os.path.join(REPO, "data", "scaled.json"), W / H)
+        eng_nr = select_engine(scene_nr)
+        render_pass_engine(eng_nr, scene_nr, key, W, H, SPP, config).block_until_ready()
+        nonrigid_mega_samples_per_s, _ = timed_groups(
+            lambda i: render_pass_engine(
+                eng_nr, scene_nr, jax.random.fold_in(key, 80 + i), W, H, SPP, config
+            ),
+            samples_per_pass,
+            groups=3,
+            iters=iters,
+        )
+        nonrigid_mega_samples_per_s = round(nonrigid_mega_samples_per_s)
     except Exception:
         pass
 
@@ -293,13 +414,15 @@ def main():
         scene_c = parser.load(os.path.join(REPO, "data", "caustics.json"), W / H)
         eng_c = select_engine(scene_c)
         render_pass_engine(eng_c, scene_c, key, W, H, SPP, config).block_until_ready()
-        t0 = time.time()
-        for i in range(n_timed):
-            img_c = render_pass_engine(
+        caustics_rate, _ = timed_groups(
+            lambda i: render_pass_engine(
                 eng_c, scene_c, jax.random.fold_in(key, 90 + i), W, H, SPP, config
-            )
-        img_c.block_until_ready()
-        caustics_rate = round(n_timed * samples_per_pass / (time.time() - t0))
+            ),
+            samples_per_pass,
+            groups=3,
+            iters=iters,
+        )
+        caustics_rate = round(caustics_rate)
     except Exception:
         pass
 
@@ -308,6 +431,7 @@ def main():
         "value": round(samples_per_s),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_s / baseline, 3),
+        "spread_pct": round(100 * headline_spread, 1),
         "baseline_cpp_samples_per_s": round(baseline),
         "baseline_live": live,
         "grad_samples_per_s": round(grad_samples_per_s),
@@ -315,6 +439,7 @@ def main():
         "geom_kernel_grad_samples_per_s": geom_kernel_grad_samples_per_s,
         "fwd_tangent_samples_per_s": fwd_tangent_samples_per_s,
         "rays_per_s": rays_per_s,
+        "nonrigid_mega_samples_per_s": nonrigid_mega_samples_per_s,
         "caustics_samples_per_s": caustics_rate,
         "bigscene_100k_samples_per_s": bigscene_samples_per_s,
         "bigscene_nonrigid_samples_per_s": bigscene_nonrigid_samples_per_s,
@@ -322,6 +447,8 @@ def main():
         "engine": engine,
         "device": str(jax.devices()[0]),
     }
+    if ab_mode:
+        result["bigscene_r1_defaults_samples_per_s"] = bigscene_r1_defaults_samples_per_s
     print(json.dumps(result))
 
 

@@ -154,6 +154,10 @@ def main(argv=None) -> int:
         kajo_spp_quirk=not args.exact_spp,
         regen_threshold=regen,
         one_light_nee=args.one_light_nee,
+        # -r gl is the GL backend's EXACT estimator (first-vertex-only
+        # emission, no RR, post-shade cull, no background on miss — see
+        # integrator.RenderConfig.gl_semantics)
+        gl_semantics=args.renderer == "gl",
     )
     key = jax.random.PRNGKey(args.seed)
     grid = max(int(args.spp**0.5), 1)

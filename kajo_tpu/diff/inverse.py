@@ -162,8 +162,11 @@ class InverseRenderer:
                     and megakernel_grad.supports(self.scene)
                     and spec <= (MEGA_DIFF_PARAMS | MEGA_GEOM_PARAMS)
                     and (not geom or megakernel_geom.supports(self.scene))
-                    # boundary terms exist only in the jax engine
-                    and not (self.edge_gradients or self.shadow_edges)
+                    # boundary terms (edge_gradients / shadow_edges) compose
+                    # with the fused kernels: the silhouette term is a
+                    # zero-primal custom_vjp added to the render (engine-
+                    # agnostic by construction), so they do NOT force the
+                    # ~1M samples/s jax budget engine anymore
                 )
                 else "jax"
             )
@@ -190,13 +193,29 @@ class InverseRenderer:
             )
 
             clip = self.loss_clip
+            edge_term = None
+            if self.edge_gradients or self.shadow_edges:
+                # boundary completion at kernel speed: the zero-primal
+                # silhouette/shadow term rides on the fused render exactly as
+                # on the budget engine (its probes use render_samples)
+                from .edges import make_silhouette_term
+
+                edge_term = make_silhouette_term(
+                    w, h, cfg, self.n_edge, self.shadow_edges, self.n_shadow_edge
+                )
 
             def loss_fn(params, key):
                 updated = apply_params(base_scene, params)
-                k1, k2 = jax.random.split(key)
                 t = target[..., :3]
-                i1 = render(updated, k1)[..., :3]
-                i2 = render(updated, k2)[..., :3]
+                if edge_term is None:
+                    k1, k2 = jax.random.split(key)
+                    i1 = render(updated, k1)[..., :3]
+                    i2 = render(updated, k2)[..., :3]
+                else:
+                    k1, k2, k3 = jax.random.split(key, 3)
+                    edge = edge_term(updated, k3)[..., :3]
+                    i1 = render(updated, k1)[..., :3] + edge
+                    i2 = render(updated, k2)[..., :3] + edge
                 if clip is not None:
                     t = jnp.clip(t, 0.0, clip)
                     i1 = jnp.clip(i1, 0.0, clip)

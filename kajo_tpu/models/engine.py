@@ -1,7 +1,8 @@
 """Engine selection: pick the fastest renderer that supports the scene.
 
-  * ``mega``   — fused Pallas megakernel (ops/pallas/megakernel.py): rigid
-    scenes with a VMEM-sized object set; ~20x the jax wavefront on TPU.
+  * ``mega``   — fused Pallas megakernel (ops/pallas/megakernel.py): any
+    scene (rigid or general transforms) with a VMEM-sized object set; ~20x
+    the jax wavefront on TPU.
   * ``fast``   — regenerating jax wavefront (models/wavefront.py): any scene,
     any backend (including the chunked 100k-sphere path).
   * ``parity`` — fixed-shape scan (models/integrator.py): the estimator

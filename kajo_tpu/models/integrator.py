@@ -82,8 +82,28 @@ class RenderConfig:
     # chosen light scaled by L — unbiased (each light's estimator keeps its
     # exact per-light MIS weight), and cuts the shadow-ray cost from L to 1
     # per vertex, the dominant trace cost in many-light big scenes. Honored
-    # by the fast wavefront engine; higher per-sample variance.
+    # by all three render engines (parity scan, fast wavefront, megakernel);
+    # the fused GRADIENT kernels (megakernel_grad/geom) raise on it. Higher
+    # per-sample variance.
     one_light_nee: bool = False
+    # GL-backend-exact estimator (gl/SurfaceShader.cpp:31-98), honored by the
+    # regenerating wavefront engines (fast/budget; `-r gl` sets it):
+    #   * emission only on the path's FIRST vertex (the weight==vec4(1.0)
+    #     test, SurfaceShader.cpp:37-38);
+    #   * NO Russian roulette — paths continue until the throughput cull;
+    #   * post-shade throughput cull (maxWeight < regen_threshold, default
+    #     0.01, SurfaceShader.cpp:88-93) applied AFTER the MIS weight — our
+    #     deferred-weight loop tests it at the next vertex before any of
+    #     that vertex's contributions, which is the same estimator;
+    #   * the continuation MIS light pdf keeps self-hits (GL's rayCanReach
+    #     has no not-self test) and excludes delta (mirror) continuations
+    #     from the light-pdf denominator (no lightProbability factor in the
+    #     ideal-reflector weight, SurfaceShader.cpp:67-73);
+    #   * NO background on miss (the GL pipeline never consumes
+    #     backgroundColor — misses shade garbage; kajo scenes are closed).
+    # Deviation: config.max_depth still bounds the loop (GL paths persist
+    # across frames unbounded; a while_loop needs termination).
+    gl_semantics: bool = False
 
 
 def _maxrgb(c):
@@ -159,6 +179,45 @@ def _nee(prep: PreparedScene, hit, mat, u_light, m_lambert, m_phong, eps):
     return jnp.sum(contrib, axis=1)
 
 
+def _nee_one_light(prep: PreparedScene, hit, mat, u_sel, u3, m_lambert, m_phong, eps):
+    """One-of-L NEE (the ``one_light_nee`` estimator): a uniformly chosen
+    light per lane, its term scaled by L. Unbiased against `_nee`'s
+    all-lights loop — each light's term keeps its exact per-light MIS weight
+    1/(pdf_b + pdf_l); uniform selection contributes the factor L — with one
+    shadow trace per vertex instead of L. Returns [N, 4]."""
+    num_l = prep.light_obj.shape[0]
+    li = jnp.minimum((u_sel * num_l).astype(jnp.int32), num_l - 1)
+    center = prep.light_center[li]          # [N, 3]
+    radius = prep.light_radius[li]          # [N]
+    lobj = prep.light_obj[li]               # [N]
+    emission = prep.light_emission[li]      # [N, 4]
+
+    pos = hit.position
+    dir_l, pdf_l = lights.sample(u3[0], u3[1], u3[2], center, radius, pos)
+    sh = trace(prep, pos + dir_l * eps, dir_l)
+    visible = sh.obj == lobj
+    not_self = hit.obj != lobj
+
+    exp = mat.specular_exponent
+    pdf_b = jnp.where(
+        m_lambert,
+        bsdf.lambert_pdf(hit.normal, dir_l),
+        jnp.where(m_phong, bsdf.phong_pdf(hit.view, hit.normal, dir_l, exp), 0.0),
+    )
+    fcos = jnp.where(
+        m_lambert[:, None],
+        bsdf.lambert_eval_cos(mat.diffuse, hit.normal, dir_l),
+        jnp.where(
+            m_phong[:, None],
+            bsdf.phong_eval_cos(mat.specular, hit.view, hit.normal, dir_l, exp),
+            0.0,
+        ),
+    )
+    ok = visible & not_self & (pdf_b != 0) & (pdf_l > 0)
+    weight = jnp.where(ok, num_l / (pdf_b + pdf_l), 0.0)
+    return weight[:, None] * fcos * emission
+
+
 def render_samples(
     prep: PreparedScene, o: jax.Array, d: jax.Array, key: jax.Array, config: RenderConfig
 ) -> jax.Array:
@@ -197,9 +256,18 @@ def render_samples(
         t = state["throughput"]
         r = state["radiance"]
 
+        gl = bool(config.gl_semantics)
+
         # --- apply deferred MIS weight from the previous bounce -------------
-        pdf_l_vis = _light_pdf_for_hit(prep, hit.obj, state["prev_obj"], state["prev_pos"])
-        if config.full_mis:
+        # GL mode: no not-self test (rayCanReach, gl/Raytracer.cpp:112-117)
+        # and delta continuations carry no light pdf (SurfaceShader.cpp:67-73)
+        pdf_l_vis = _light_pdf_for_hit(
+            prep,
+            hit.obj,
+            jnp.full_like(state["prev_obj"], -1) if gl else state["prev_obj"],
+            state["prev_pos"],
+        )
+        if config.full_mis or gl:
             # a delta BSDF cannot be sampled by NEE, so its continuation must
             # carry full weight (the reference's pdf_l+1 denominator here is a
             # kajo quirk we only keep in parity mode)
@@ -208,23 +276,41 @@ def render_samples(
         weight = state["pend_fcos"] / jnp.where(denom == 0, 1.0, denom)[:, None]
         t = jnp.where((state["mis_pending"] & alive)[:, None], t * weight, t)
 
-        # --- miss: background, lane dies (Shader.cpp:116-117) ---------------
+        if gl:
+            # GL's post-shade throughput cull (SurfaceShader.cpp:88-93): in
+            # the fixed-depth scan "regenerate" is simply path termination
+            # (the next sample is its own lane); applied after the deferred
+            # weight, before any of this vertex's contributions
+            gl_cull = jnp.float32(
+                config.regen_threshold if config.regen_threshold > 0.0 else 0.01
+            )
+            alive = alive & ~(jnp.max(t[..., :3], axis=-1) < gl_cull)
+
+        # --- miss: lane dies; background only in the CPU scheme
+        # (Shader.cpp:116-117 — the GL pipeline never consumes it) -----------
         miss = alive & ~was_hit
-        r = r + jnp.where(miss[:, None], t * prep.background[None, :], 0.0)
+        if not gl:
+            r = r + jnp.where(miss[:, None], t * prep.background[None, :], 0.0)
         alive = alive & was_hit
 
         mat = _gather_materials(prep.materials, hit.obj)
 
-        # --- Russian roulette (Shader.cpp:124-127) --------------------------
-        p_rr = _maxrgb(jnp.maximum(jnp.maximum(mat.diffuse, mat.specular), mat.transparency))
-        cont, prob_rr = sampling.flip_coin(u[0], jax.lax.stop_gradient(p_rr))
-        t = jnp.where(alive[:, None], t / prob_rr[:, None], t)
+        # --- Russian roulette (Shader.cpp:124-127; GL mode: none — paths
+        # run until the throughput cull) --------------------------------------
+        if gl:
+            cont = jnp.ones_like(alive)
+        else:
+            p_rr = _maxrgb(jnp.maximum(jnp.maximum(mat.diffuse, mat.specular), mat.transparency))
+            cont, prob_rr = sampling.flip_coin(u[0], jax.lax.stop_gradient(p_rr))
+            t = jnp.where(alive[:, None], t / prob_rr[:, None], t)
         # local emission is weighted by *all* of this vertex's stochastic
         # factors (RR + lottery + transmission f·|cos|), so it is accumulated
         # below once the final throughput for this vertex is known; lanes
-        # killed here only carry the RR factor (Shader.cpp:126-127 vs 146-177)
+        # killed here only carry the RR factor (Shader.cpp:126-127 vs 146-177).
+        # GL adds emission only on the path's FIRST vertex (weight==vec4(1.0),
+        # SurfaceShader.cpp:37-38)
         t_kill = t
-        emitter = alive & state["emit"]
+        emitter = alive & ((depth == 0) if gl else state["emit"])
         alive = alive & cont & (depth < config.max_depth)
 
         # --- BSDF lottery (Shader.cpp:130-177) -------------------------------
@@ -248,8 +334,13 @@ def render_samples(
 
         # --- NEE (Lambert/Phong only; delta BSDFs gated by pdf==0) ----------
         if config.direct_lighting and num_lights:
-            u_l = u[3 : 3 + 3 * num_lights].reshape(3, num_lights, n).transpose(0, 2, 1)
-            nee = _nee(prep, hit, mat, u_l, m_lambert, m_phong, eps)
+            if config.one_light_nee and num_lights > 1:
+                nee = _nee_one_light(
+                    prep, hit, mat, u[3], (u[4], u[5], u[6]), m_lambert, m_phong, eps
+                )
+            else:
+                u_l = u[3 : 3 + 3 * num_lights].reshape(3, num_lights, n).transpose(0, 2, 1)
+                nee = _nee(prep, hit, mat, u_l, m_lambert, m_phong, eps)
             r = r + jnp.where((m_lambert | m_phong | m_mirror)[:, None], t * nee, 0.0)
 
         # --- continuation ray -------------------------------------------------

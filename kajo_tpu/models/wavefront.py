@@ -218,6 +218,12 @@ def _make_loop(
     }
     bg = prep.background[:3]
     emit_after_scatter = (not config.direct_lighting) or config.full_mis
+    # GL-backend-exact estimator mode (see integrator.RenderConfig
+    # .gl_semantics for the rule list and the SurfaceShader.cpp citations)
+    gl = bool(config.gl_semantics)
+    gl_cull = jnp.float32(
+        config.regen_threshold if config.regen_threshold > 0.0 else 0.01
+    )
 
     sample0 = jnp.zeros((n,), jnp.int32)
     o0, d0 = _camera_ray(prep, lane, pix, sample0, seed, width, height, grid)
@@ -274,27 +280,51 @@ def _make_loop(
         t = state["throughput"]
         r = state["r_cur"]
 
-        # deferred MIS weight from previous vertex
-        pdf_l_vis = _light_pdf_for_hit3(prep, hit.obj, state["prev_obj"], state["prev_pos"])
-        if config.full_mis:
+        # deferred MIS weight from previous vertex. GL mode: rayCanReach has
+        # no not-self test (prev_obj forced to -1) and the ideal-reflector
+        # continuation carries no light pdf (delta exclusion, like full_mis)
+        pdf_l_vis = _light_pdf_for_hit3(
+            prep,
+            hit.obj,
+            jnp.full_like(state["prev_obj"], -1) if gl else state["prev_obj"],
+            state["prev_pos"],
+        )
+        if config.full_mis or gl:
             pdf_l_vis = jnp.where(state["pend_delta"], 0.0, pdf_l_vis)
         denom = pdf_l_vis + state["pend_pdf_b"]
         weight = state["pend_fcos"] / jnp.where(denom == 0, 1.0, denom)[:, None]
         t = jnp.where((state["mis_pending"] & active)[:, None], t * weight, t)
 
-        # miss -> background, path ends
-        miss = active & ~was_hit
-        r = r + jnp.where(miss[:, None], t * bg[None, :], 0.0)
-        on_path = active & was_hit
+        if gl:
+            # GL's post-shade cull (SurfaceShader.cpp:88-93), applied here —
+            # after the deferred weight lands, before ANY of this vertex's
+            # contributions — which is exactly "culled at the previous
+            # vertex, never traced on": the lane regenerates below
+            active_v = active & ~(jnp.max(t, axis=-1) < gl_cull)
+        else:
+            active_v = active
+
+        # miss -> path ends (background only in the CPU scheme: the GL
+        # pipeline never consumes backgroundColor)
+        miss = active_v & ~was_hit
+        if not gl:
+            r = r + jnp.where(miss[:, None], t * bg[None, :], 0.0)
+        on_path = active_v & was_hit
 
         mat = jax.tree.map(lambda a: a[jnp.maximum(hit.obj, 0)], mat3)
 
-        # Russian roulette + depth limit
-        p_rr = _maxrgb(jnp.maximum(jnp.maximum(mat["diffuse"], mat["specular"]), mat["transparency"]))
-        cont, prob_rr = sampling.flip_coin(us[0], jax.lax.stop_gradient(p_rr))
-        t = jnp.where(on_path[:, None], t / prob_rr[:, None], t)
+        # Russian roulette + depth limit (GL mode: no RR — paths run until
+        # the throughput cull; us[0] is drawn but unused, keeping the PCG4D
+        # stream layout shared with the CPU scheme)
+        if gl:
+            cont = jnp.ones_like(on_path)
+        else:
+            p_rr = _maxrgb(jnp.maximum(jnp.maximum(mat["diffuse"], mat["specular"]), mat["transparency"]))
+            cont, prob_rr = sampling.flip_coin(us[0], jax.lax.stop_gradient(p_rr))
+            t = jnp.where(on_path[:, None], t / prob_rr[:, None], t)
         t_kill = t
-        emitter = on_path & state["emit"]
+        # GL adds emission only on the path's first vertex (weight==vec4(1.0))
+        emitter = on_path & ((depth == 0) if gl else state["emit"])
         survive = on_path & cont & (depth < config.max_depth)
 
         # lottery
@@ -361,13 +391,12 @@ def _make_loop(
             emitter[:, None], jnp.where(survive[:, None], t, t_kill) * mat["emission"], 0.0
         )
         continuing = survive & (m_transmit | (pdf_b != 0))
-        if config.regen_threshold > 0.0:
-            # reference GL backend's biased throughput culling
-            # (gl/SurfaceShader.cpp:88-93): lanes whose path throughput drops
-            # below the threshold regenerate instead of tracing on. Our check
-            # uses the pre-deferred-MIS throughput (the weight lands at the
-            # next vertex here), so this approximates — not bit-matches — the
-            # GL estimator; default 0.0 keeps the exact estimator.
+        if config.regen_threshold > 0.0 and not gl:
+            # standalone throughput culling (a cheap approximation of the GL
+            # backend's — the exact rule lives in the gl_semantics branch
+            # above, where the cull runs post-deferred-MIS): lanes whose
+            # path throughput drops below the threshold regenerate instead
+            # of tracing on. Default 0.0 keeps the exact estimator.
             continuing = continuing & (
                 jnp.max(t, axis=-1) >= jnp.float32(config.regen_threshold)
             )

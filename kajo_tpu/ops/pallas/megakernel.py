@@ -22,8 +22,11 @@ single `pallas_call`:
 Estimator semantics match models/wavefront.py exactly except the tangent
 frame at plane hits (the frame only rotates azimuthally-symmetric sampling,
 so results agree in distribution; the permutation-trick frame is used for
-all surfaces here). Scope: rigid scenes with <= MAX_KERNEL_OBJECTS objects;
-the jax wavefront engine is the fallback and the correctness spec.
+all surfaces here). Scope: any scene with <= MAX_KERNEL_OBJECTS objects —
+rigid scenes use the 4-float world-space sphere record, general (scaled/
+sheared) transforms the 23-float object-space record with determinant-scaled
+hit distances and forward-rotated normals (Raytracer.cpp:21-72); the jax
+wavefront engine is the fallback and the correctness spec.
 """
 
 from __future__ import annotations
@@ -56,7 +59,13 @@ PI = np.float32(np.pi)
 
 # packed-buffer record sizes
 _PL = 8   # plane: nrow4, det, normal3
-_SP = 4   # sphere: cx, cy, cz, r2
+_SP = 4   # rigid sphere: cx, cy, cz, r2
+# general (non-rigid) sphere: inv3 row-major (9), invt (3), r2, det,
+# fwd3 row-major (9) — the reference's object-space formulation with
+# determinant-scaled hit distance and forward-rotated normal
+# (/root/reference/renderer/cpu/Raytracer.cpp:21-72); same 14-float trace
+# record as ops/pallas/stream_trace.py plus fwd3 for shading normals
+_SPG = 23
 _MA = 14  # material: diffuse3, specular3, emission3, transparency3, exp, ior
 _LI = 8   # light: cx, cy, cz, radius, er, eg, eb, obj_id
 
@@ -195,9 +204,22 @@ def _pack_scene(prep) -> jnp.ndarray:
             ).reshape(-1)
         )
     s = prep.sphere_center.shape[0]
-    if s:
+    if s and prep.rigid:
         parts.append(
             jnp.concatenate([prep.sphere_center, prep.sphere_radius2[:, None]], axis=1).reshape(-1)
+        )
+    elif s:
+        parts.append(
+            jnp.concatenate(
+                [
+                    prep.sphere_inv3.reshape(s, 9),
+                    prep.sphere_invt,
+                    prep.sphere_radius2[:, None],
+                    prep.sphere_det[:, None],
+                    prep.sphere_fwd3.reshape(s, 9),
+                ],
+                axis=1,
+            ).reshape(-1)
         )
     m = prep.materials
     parts.append(
@@ -232,7 +254,54 @@ def _pack_scene(prep) -> jnp.ndarray:
     return jnp.concatenate(parts)[None, :]
 
 
-def _build_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L, jvp=False):
+def _sphere_hit_general(rec, o, d):
+    """General-transform sphere hit: object-space stable quadratic with
+    determinant-scaled t (Raytracer.cpp:21-51,70) and the reference's
+    normal convention — object-space hit point rotated by the FORWARD
+    matrix, then normalized (Raytracer.cpp:52-54).
+
+    ``rec``: 23 per-sphere scalars (inv3 row-major, invt, r2, det, fwd3
+    row-major); ``o``/``d`` world-space ray component triples.
+    Returns (t_world, valid, world_normal)."""
+    ox = rec[0] * o[0] + rec[1] * o[1] + rec[2] * o[2] + rec[9]
+    oy = rec[3] * o[0] + rec[4] * o[1] + rec[5] * o[2] + rec[10]
+    oz = rec[6] * o[0] + rec[7] * o[1] + rec[8] * o[2] + rec[11]
+    dx = rec[0] * d[0] + rec[1] * d[1] + rec[2] * d[2]
+    dy = rec[3] * d[0] + rec[4] * d[1] + rec[5] * d[2]
+    dz = rec[6] * d[0] + rec[7] * d[1] + rec[8] * d[2]
+    r2, det = rec[12], rec[13]
+    a = dx * dx + dy * dy + dz * dz
+    b = 2.0 * (dx * ox + dy * oy + dz * oz)
+    cq = ox * ox + oy * oy + oz * oz - r2
+    discr = b * b - 4.0 * a * cq
+    sq = safe_sqrt(discr)
+    q = jnp.where(b < 0, (-b - sq) * 0.5, (-b + sq) * 0.5)
+    t0 = q / jnp.where(a == 0, 1.0, a)
+    t1 = cq / jnp.where(q == 0, 1.0, q)
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    t_loc = jnp.where(lo < 0, hi, lo)
+    t = t_loc * det
+    valid = (discr >= 0) & (hi >= 0) & (a != 0) & (q != 0) & (t >= 0)
+    nl = (ox + dx * t_loc, oy + dy * t_loc, oz + dz * t_loc)
+    n = vnormalize(
+        (
+            rec[14] * nl[0] + rec[15] * nl[1] + rec[16] * nl[2],
+            rec[17] * nl[0] + rec[18] * nl[1] + rec[19] * nl[2],
+            rec[20] * nl[0] + rec[21] * nl[1] + rec[22] * nl[2],
+        )
+    )
+    return t, valid, n
+
+
+def _build_kernel(
+    width, height, grid_n, eff, config: RenderConfig, P, S, L, jvp=False, rigid=True
+):
+    if config.gl_semantics:
+        raise ValueError(
+            "gl_semantics is implemented by the wavefront/parity engines, "
+            "not the fused megakernel — render with engine='fast'"
+        )
     if jvp:
         # the forward-mode kernel reads the whole scene eagerly so jax.jvp can
         # thread tangents; the dynamic-SMEM fori paths are primal-only
@@ -244,11 +313,17 @@ def _build_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L, jvp
     eps = np.float32(config.surface_epsilon)
     emit_after_scatter = bool((not config.direct_lighting) or config.full_mis)
     nee_on = bool(config.direct_lighting and L > 0)
-    ncalls = -(-(5 + 3 * L) // 4)
+    # one-of-L light sampling (see integrator.RenderConfig.one_light_nee):
+    # one shadow trace per vertex, term scaled by L — unbiased, same uniform
+    # budget as all-lights for L > 1 (max(5+3L, 9) == 5+3L), so the PCG4D
+    # stream is identical to the wavefront's one-light path
+    one_light = bool(config.one_light_nee and L > 1)
+    ncalls = -(-max(5 + 3 * L, 9 if one_light else 0) // 4)
     CAM_SALT = np.uint32(0x7FFFFFFF)
+    SPF = _SP if rigid else _SPG  # per-sphere record size
     off_planes = 0
     off_spheres = off_planes + P * _PL
-    off_mats = off_spheres + S * _SP
+    off_mats = off_spheres + S * SPF
     off_lights = off_mats + K * _MA
     off_bg = off_lights + L * _LI
     off_cam = off_bg + 3
@@ -295,8 +370,8 @@ def _build_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L, jvp
                 return [s_(b + j) for j in range(_PL)]
 
             def sphere_rec(i):
-                b = off_spheres + i * _SP
-                return [s_(b + j) for j in range(_SP)]
+                b = off_spheres + i * SPF
+                return [s_(b + j) for j in range(SPF)]
 
             def mat_rec(i):
                 b = off_mats + i * _MA
@@ -331,6 +406,38 @@ def _build_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L, jvp
                     t_best = jnp.where(valid, t, t_best)
                     obj_best = jnp.where(valid, i, obj_best)
                     n_best = vwhere(valid, vfull((r[5], r[6], r[7]), zf), n_best)
+                if not rigid:
+                    # general transforms: object-space quadratic + det-scaled
+                    # t + fwd3-rotated normal, per sphere (no world-space
+                    # shortcut exists — each sphere has its own ray transform)
+                    if S <= UNROLL_OBJECTS:
+                        for i in range(S):
+                            t, valid, n_new = _sphere_hit_general(sphere_rec(i), o, d)
+                            valid = valid & (t < t_best)
+                            t_best = jnp.where(valid, t, t_best)
+                            obj_best = jnp.where(valid, P + i, obj_best)
+                            n_best = vwhere(valid, n_new, n_best)
+                        return t_best, obj_best, n_best
+
+                    def sphere_step_g(i, carry):
+                        t_best, obj_best, n0, n1, n2 = carry
+                        base = off_spheres + i * SPF
+                        rec = [scn_ref[0, base + j] for j in range(SPF)]
+                        t, valid, n_new = _sphere_hit_general(rec, o, d)
+                        valid = valid & (t < t_best)
+                        return (
+                            jnp.where(valid, t, t_best),
+                            jnp.where(valid, P + i, obj_best),
+                            jnp.where(valid, n_new[0], n0),
+                            jnp.where(valid, n_new[1], n1),
+                            jnp.where(valid, n_new[2], n2),
+                        )
+
+                    t_best, obj_best, n0, n1, n2 = jax.lax.fori_loop(
+                        0, S, sphere_step_g, (t_best, obj_best, n_best[0], n_best[1], n_best[2])
+                    )
+                    return t_best, obj_best, (n0, n1, n2)
+
                 d_dot_o = vdot(d, o)
                 o2 = vdot(o, o)
                 if S <= UNROLL_OBJECTS:
@@ -543,12 +650,12 @@ def _build_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L, jvp
 
                 # NEE over lights
                 if nee_on:
-                    nee = (zf, zf, zf)
-                    for li in range(L):
-                        r = light_rec(li)
-                        u1 = us[5 + 3 * li]
-                        u2 = us[6 + 3 * li]
-                        u3 = us[7 + 3 * li]
+
+                    def nee_light(r, u1, u2, u3, scale):
+                        # one light's NEE term: solid-angle sample, shadow
+                        # trace, per-light MIS weight scale/(pdf_b + pdf_l).
+                        # ``r`` fields may be SMEM scalars (per-light loop)
+                        # or [ROWS,128] arrays (one-hot-selected record)
                         rad = r[3]
                         sx_ = rad * jnp.sqrt(u1) * jnp.cos(2.0 * PI * u2)
                         sy_ = rad * jnp.sqrt(u1) * jnp.sin(2.0 * PI * u2)
@@ -575,8 +682,35 @@ def _build_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L, jvp
                             ),
                         )
                         ok = visible & not_self & (pdf_b_l != 0) & (pdf_l > 0)
-                        wl = jnp.where(ok, 1.0 / (pdf_b_l + pdf_l), 0.0)
-                        nee = vadd(nee, vscale(vmul(fcos_l, vfull((r[4], r[5], r[6]), zf)), wl))
+                        wl = jnp.where(ok, scale / (pdf_b_l + pdf_l), 0.0)
+                        return vscale(vmul(fcos_l, vfull((r[4], r[5], r[6]), zf)), wl)
+
+                    if one_light:
+                        # uniformly pick one light per lane (wavefront
+                        # _nee3_one_light): us[5] selects, us[6:9] sample;
+                        # the record is gathered by one-hot accumulation
+                        li_v = jnp.minimum(
+                            (us[5] * np.float32(L)).astype(jnp.int32), L - 1
+                        )
+                        rec = [zf] * _LI
+                        for li in range(L):
+                            r = light_rec(li)
+                            m = (li_v == li).astype(jnp.float32)
+                            rec = [rec[f] + m * r[f] for f in range(_LI)]
+                        nee = nee_light(rec, us[6], us[7], us[8], np.float32(L))
+                    else:
+                        nee = (zf, zf, zf)
+                        for li in range(L):
+                            nee = vadd(
+                                nee,
+                                nee_light(
+                                    light_rec(li),
+                                    us[5 + 3 * li],
+                                    us[6 + 3 * li],
+                                    us[7 + 3 * li],
+                                    np.float32(1.0),
+                                ),
+                            )
                     r3 = vwhere(scatter, vadd(r3, vmul(t3, nee)), r3)
 
                 # continuation sample
@@ -692,11 +826,10 @@ def _build_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L, jvp
 
 
 def supports(scene: Scene) -> bool:
-    return bool(
-        getattr(scene, "rigid_spheres", False)
-        and scene.num_objects <= MAX_KERNEL_OBJECTS
-        and scene.num_objects > 0
-    )
+    """Rigid AND general (scaled/sheared) transforms are supported: rigid
+    scenes use the 4-float world-space record, general scenes the 23-float
+    object-space record (det-scaled t, fwd3-rotated normals)."""
+    return bool(scene.num_objects <= MAX_KERNEL_OBJECTS and scene.num_objects > 0)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
@@ -722,7 +855,9 @@ def render_pass_megakernel(
     P = scene.num_planes
     S = scene.num_spheres
     L = scene.num_lights
-    kernel = _build_kernel(width, height, grid_n, eff, config, P, S, L)
+    kernel = _build_kernel(
+        width, height, grid_n, eff, config, P, S, L, rigid=prep.rigid
+    )
 
     packed = _pack_scene(prep)
     seed = jnp.asarray(seed_from_key(key), jnp.uint32)
@@ -784,7 +919,10 @@ def render_pass_megakernel_jvp(
     P = scene.num_planes
     S = scene.num_spheres
     L = scene.num_lights
-    kernel = _build_kernel(width, height, grid_n, eff, config, P, S, L, jvp=True)
+    kernel = _build_kernel(
+        width, height, grid_n, eff, config, P, S, L, jvp=True,
+        rigid=bool(getattr(scene, 'rigid_spheres', False)),
+    )
 
     packed, packed_dot = jax.jvp(
         lambda s: _pack_scene(prepare_scene(s)), (scene,), (scene_tangent,)
@@ -872,7 +1010,9 @@ def render_pass_megakernel_sharded(
     P = scene.num_planes
     S = scene.num_spheres
     L = scene.num_lights
-    kernel = _build_kernel(width, height, grid_n, eff, config, P, S, L)
+    kernel = _build_kernel(
+        width, height, grid_n, eff, config, P, S, L, rigid=prep.rigid
+    )
 
     packed = _pack_scene(prep)
     seed = jnp.asarray(seed_from_key(key), jnp.uint32)

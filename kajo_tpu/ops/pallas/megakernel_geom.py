@@ -93,7 +93,14 @@ TRACK_SLOTS = 4  # distinct spheres tracked per path (== replay fan-out cap)
 def supports(scene: Scene) -> bool:
     from .megakernel import supports as fwd_supports
 
-    return bool(fwd_supports(scene) and scene.num_spheres > 0)
+    # rigid-only: the replay differentiates w.r.t. world-space center/radius
+    # (the 4-float rigid record); general transforms use the jax budget
+    # engine or the forward-mode megakernel (which handles them)
+    return bool(
+        fwd_supports(scene)
+        and getattr(scene, "rigid_spheres", False)
+        and scene.num_spheres > 0
+    )
 
 
 def _build_geom_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L):
@@ -711,6 +718,11 @@ def geometry_grads(
     Returns dict(center=[S, 3] world-space center gradients,
     radius=[S] radius gradients). Interior terms only (visibility detached);
     light-as-sampler geometry is out of scope — see the module docstring."""
+    if config.one_light_nee:
+        raise ValueError(
+            "one_light_nee is not implemented in the geometry gradient "
+            "kernel; use the jax budget engine for gradients under one-light NEE"
+        )
     prep = prepare_scene(scene)
     grid_n = max(int(spp**0.5), 1)
     eff = grid_n * grid_n

@@ -82,7 +82,14 @@ MAX_GRAD_OBJECTS = MAX_KERNEL_OBJECTS
 def supports(scene: Scene) -> bool:
     from .megakernel import supports as fwd_supports
 
-    return bool(fwd_supports(scene) and scene.num_objects <= MAX_GRAD_OBJECTS)
+    # rigid-only: this kernel replays the trace with the 4-float world-space
+    # sphere record; non-rigid scenes (23-float object-space record in the
+    # forward kernel) fall back to the jax budget engine for now
+    return bool(
+        fwd_supports(scene)
+        and getattr(scene, "rigid_spheres", False)
+        and scene.num_objects <= MAX_GRAD_OBJECTS
+    )
 
 
 def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L):
@@ -728,6 +735,11 @@ def material_grads(
     ``cotangent``: [H, W, 3or4] upstream gradient (e.g. from an L2 loss).
     Returns dict(diffuse=[K,3], specular=[K,3], emission=[K,3], background=[3]).
     """
+    if config.one_light_nee:
+        raise ValueError(
+            "one_light_nee is not implemented in the PRB gradient kernel; "
+            "use the jax budget engine for gradients under one-light NEE"
+        )
     prep = prepare_scene(scene)
     grid_n = max(int(spp**0.5), 1)
     eff = grid_n * grid_n

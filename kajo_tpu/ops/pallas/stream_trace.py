@@ -1118,7 +1118,10 @@ _nearest.defvjp(_nearest_fwd, _nearest_bwd)
 def build_stream_scene(prep):
     """Morton-sorted packed spheres + per-block AABBs for the stream kernel.
 
-    Returns (packed [S_pad, F], boxes [S_pad/block, 8], perm [S]). Sorting
+    Returns (packed [S_pad, F], boxes [S_pad/block, 8], perm [S_pad]).
+    ``perm`` is padded to S_pad alongside ``packed``: pad entries map to
+    sphere 0 but are never dereferenced for a real winner (padded packed
+    rows are unhittable, r2 = -1). Sorting
     along the Morton curve makes streamed blocks spatially tight, so the
     kernel's per-block AABB test skips most blocks for coherent ray tiles —
     the TPU translation of an acceleration structure: no per-lane gathers,

@@ -31,17 +31,43 @@ def initialize(coordinator_address: str | None = None, num_processes: int | None
     """Join the multi-host process group (no-op when single-process).
 
     On Cloud TPU pods the arguments are auto-detected from the environment;
-    pass them explicitly for other clusters."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    pass them explicitly for other clusters.
+
+    Ordering matters: `jax.distributed.initialize` must run BEFORE anything
+    that initializes the XLA backend — including `jax.process_count()` /
+    `jax.devices()` — so "already initialized" is detected via the
+    distributed client state, never via a backend call."""
+    from jax._src import distributed as _distributed
+
+    if _distributed.global_state.client is not None:
+        return  # already joined (repeat initialize() would raise)
+    if coordinator_address or num_processes is not None:
+        # explicit cluster spec: failures here are real and must propagate
+        jax.distributed.initialize(coordinator_address, num_processes, process_id)
+        return
+    # No-arg form: only attempt the join when a cluster environment is
+    # actually present (Cloud TPU pod, SLURM, Open MPI, K8s jobset) — jax's
+    # own plugin detection, run WITHOUT touching the backend. This keeps
+    # single-process sessions exact no-ops (jax.distributed.initialize()
+    # raises even in them once the backend is up) while letting a *detected*
+    # cluster's join failures propagate loudly instead of being swallowed.
     try:
-        if coordinator_address or num_processes:
-            jax.distributed.initialize(coordinator_address, num_processes, process_id)
-        else:
-            jax.distributed.initialize()
+        from jax._src import clusters
+
+        env_present = any(
+            c.is_env_present() for c in clusters.ClusterEnv._cluster_types
+        )
     except Exception:
-        # single-process environments (tests, one chip) land here
-        pass
+        env_present = None  # private detection API unavailable
+    if env_present:
+        jax.distributed.initialize()
+    elif env_present is None:
+        try:
+            jax.distributed.initialize()
+        except ValueError:
+            # the documented no-cluster signal ("coordinator_address should
+            # be defined."): single-process. RuntimeErrors still propagate.
+            pass
 
 
 def render_distributed(scene, width, height, spp, key, passes=1, config=None, engine="auto"):
@@ -61,6 +87,12 @@ def render_distributed(scene, width, height, spp, key, passes=1, config=None, en
         )
         total = img if total is None else total + img
     total = total / passes
+    if jax.process_count() > 1:
+        # a cross-host-sharded jit output is not addressable from one
+        # process; replicate it first (one [H,W,4] all-gather over ICI/DCN)
+        from jax.experimental import multihost_utils
+
+        total = multihost_utils.process_allgather(total, tiled=True)
     if jax.process_index() != 0:
         return None
     return np.asarray(total)

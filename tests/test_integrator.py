@@ -257,3 +257,26 @@ def test_gl_cull_mode_renders_and_biases_small():
     # the cull only drops paths whose throughput fell below 1% -> tiny bias
     rel = abs(a[..., :3].mean() - b[..., :3].mean()) / b[..., :3].mean()
     assert rel < 0.02, rel
+
+
+def test_one_light_nee_parity_scan_statistically_equal():
+    """The estimator spec (render_pass) honors one_light_nee: one uniformly
+    chosen light x L equals the all-lights NEE loop in expectation."""
+    import dataclasses
+
+    from kajo_tpu.models.integrator import render_pass
+    from kajo_tpu.scene.procedural import random_spheres_scene
+
+    scene = random_spheres_scene(60, seed=21, extent=12.0, n_lights=3)
+    cfg_all = RenderConfig(max_depth=2)
+    cfg_one = dataclasses.replace(cfg_all, one_light_nee=True)
+    imgs_a, imgs_o = [], []
+    for i in range(6):
+        k = jax.random.PRNGKey(60 + i)
+        imgs_a.append(np.asarray(render_pass(scene, k, 32, 24, 16, cfg_all)))
+        imgs_o.append(np.asarray(render_pass(scene, k, 32, 24, 16, cfg_one)))
+    a = np.mean(imgs_a, axis=0)[..., :3]
+    o = np.mean(imgs_o, axis=0)[..., :3]
+    assert np.isfinite(o).all()
+    rel = abs(o.mean() - a.mean()) / a.mean()
+    assert rel < 0.03, rel

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 
 def main():
     n_sph = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    import os
 
     d = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/kajo_jax_cache")
     os.makedirs(d, exist_ok=True)
@@ -64,7 +63,7 @@ def main():
     pad = lambda a: jnp.pad(a, ((0, n_pad - n), (0, 0)))
     tm = jnp.full((n_pad,), st.BIG, jnp.float32)
 
-    f = jax.jit(partial(st._nearest, True))
+    f = jax.jit(partial(st._nearest, prep.rigid))
 
     def timed(o, d, packed, boxes, reps=10):
         t, i = f(pad(o), pad(d), tm, packed, boxes)
