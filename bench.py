@@ -13,8 +13,12 @@ traced by our wavefront) and the fwd+bwd (gradient) rate.
 
 Variance robustness: every headline metric is the MEDIAN of >= 3 independently
 timed groups; the headline also reports spread_pct = (max-min)/median over its
-groups so a cross-process move can be attributed (TPU process variance on this
-axon runtime was measured at +-30% for single-group timings, docs/ROUND2.md).
+groups. Every group chains all its results into one device scalar and ends
+with a host readback of it — on this axon runtime, block_until_ready alone
+does NOT guarantee execution (dead results are deferred/elided; see the
+timed_groups docstring and BASELINE.md "measurement integrity"). With honest
+sync the headline spread drops from the +-30% "process variance" blamed in
+round 2 to ~2-3%.
 
 `python bench.py --ab` additionally re-times the big-scene row under the
 round-1 stream-trace defaults (V1 kernel, no ray reordering, FRONT_TO_BACK
@@ -50,23 +54,49 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def timed_groups(fn, samples_per_iter, groups=3, iters=5, sync=None):
+def timed_groups(fn, samples_per_iter, groups=3, iters=5):
     """Median-of-groups throughput. ``fn(i)`` runs one iteration (i is a
-    global iteration counter so RNG keys stay distinct); ``sync(out)`` forces
-    completion of the last result (default: jax.block_until_ready). Returns
-    (median samples/s, spread fraction (max-min)/median)."""
-    import jax
+    global iteration counter so RNG keys stay distinct). Returns
+    (median samples/s, spread fraction (max-min)/median).
 
-    sync = sync or jax.block_until_ready
+    Measurement integrity (hard-won, see BASELINE.md): on the axon TPU
+    runtime, computations whose results are never host-read can be deferred
+    or elided entirely — jax.block_until_ready alone returns in ~0.1 ms for
+    a 44 ms kernel, and overwritten (dead) per-iteration results inflate a
+    group rate by the iteration count or worse (a 126M samples/s headline
+    once read 4.7B). So every iteration's EVERY output leaf is chained into
+    one device-side scalar, and the group ends with a 4-byte host readback
+    of that scalar — nothing in the group is dead, and the clock stops only
+    when all of it has actually executed. (Reading back the full result
+    instead would time the tunnel's ~40 MB/s D2H path, not the chip; a
+    per-iteration readback serializes on the ~20 ms tunnel RTT. The 4-byte
+    chain is the only variant that is both honest and chip-bound.)"""
+    import jax
+    import jax.numpy as jnp
+
+    def chain(out, acc):
+        for leaf in jax.tree_util.tree_leaves(out):
+            v = leaf.ravel()[0].astype(jnp.float32)
+            acc = v if acc is None else acc + v
+        return acc
+
+    # untimed glue warmup: the ravel/astype/add chain ops are tiny XLA
+    # programs that remote-compile on first use (~seconds), and the runtime
+    # pays a one-time ~0.4 s cost on the second distinct dispatch of a new
+    # program stream — burn both on throwaway iterations so group 1 isn't
+    # charged for them (key reuse with the timed groups is harmless)
+    float(chain(fn(1), chain(fn(0), None)))
+
     rates = []
     k = 0
     for _ in range(groups):
         t0 = time.time()
-        out = None
+        acc = None
         for _ in range(iters):
             out = fn(k)
             k += 1
-        sync(out)
+            acc = chain(out, acc)
+        float(acc)  # host readback: forces execution of the whole chain
         dt = time.time() - t0
         rates.append(iters * samples_per_iter / dt)
     med = statistics.median(rates)
@@ -114,9 +144,14 @@ def main():
     eff = grid * grid
     samples_per_pass = W * H * eff
 
+    import numpy as np
+
     engine = select_engine(scene)
-    # warmup/compile
-    render_pass_engine(engine, scene, key, W, H, SPP, config).block_until_ready()
+    # warmup/compile — and one host readback BEFORE any timing: the first
+    # D2H flips the axon runtime out of its lazy/deferred mode (see
+    # timed_groups docstring); without it the first timed rows are fiction
+    wu = render_pass_engine(engine, scene, key, W, H, SPP, config)
+    float(np.asarray(wu)[0, 0, 0])
 
     iters = 7 if engine == "mega" else 2
     samples_per_s, headline_spread = timed_groups(
@@ -130,8 +165,6 @@ def main():
 
     # fwd+bwd (config-4 rate): fused Pallas forward + PRB backward kernels
     # for material-space gradients; geometry grads use the jax budget engine
-    import numpy as np
-
     from kajo_tpu.ops.pallas.megakernel_grad import material_grads
 
     if engine == "mega":
@@ -147,14 +180,8 @@ def main():
             gr = material_grads(scene, jax.random.fold_in(key, 50 + i), gcot, W, H, SPP, config)
             return (img2, gr["diffuse"])
 
-        # force real synchronization (block_until_ready returns early on this
-        # runtime for small outputs): host-transfer a value from each result
-        def grad_sync(out):
-            img2, gd = out
-            return float(np.asarray(gd).sum()) + float(np.asarray(img2)[0, 0, 0])
-
         grad_samples_per_s, _ = timed_groups(
-            grad_iter, samples_per_pass, groups=3, iters=4, sync=grad_sync
+            grad_iter, samples_per_pass, groups=3, iters=4
         )
     else:
         import jax.numpy as jnp
@@ -168,7 +195,8 @@ def main():
         gf = jax.jit(jax.grad(loss))
         gf(scene)  # compile
         t0 = time.time()
-        jax.block_until_ready(gf(scene))
+        g_out = gf(scene)
+        float(jax.tree_util.tree_leaves(g_out)[0].ravel()[0])  # honest sync
         dt_g = time.time() - t0
         grad_samples_per_s = (W // 2) * (H // 2) * 4 / dt_g
 
@@ -194,7 +222,7 @@ def main():
         st0 = jnp.asarray(scene.sphere_transform)
         jax.block_until_ready(ggf(st0))  # compile
         t0 = time.time()
-        jax.block_until_ready(ggf(st0))
+        float(ggf(st0).ravel()[0])  # honest sync (see timed_groups)
         geom_grad_samples_per_s = round(gw * gh * gspp / (time.time() - t0))
     except Exception:
         pass
@@ -214,11 +242,6 @@ def main():
             gg = geometry_grads(scene, key, gcot2, W, H, SPP, config)
             _ = float(np.asarray(gg["center"]).sum())  # compile + sync
 
-            def gg_sync(out):
-                return float(np.asarray(out["center"]).sum()) + float(
-                    np.asarray(out["radius"]).sum()
-                )
-
             geom_kernel_grad_samples_per_s, _ = timed_groups(
                 lambda i: geometry_grads(
                     scene, jax.random.fold_in(key, 70 + i), gcot2, W, H, SPP, config
@@ -226,7 +249,6 @@ def main():
                 samples_per_pass,
                 groups=3,
                 iters=3,
-                sync=gg_sync,
             )
             geom_kernel_grad_samples_per_s = round(geom_kernel_grad_samples_per_s)
         except Exception:
@@ -269,10 +291,6 @@ def main():
         img_j, dot_j = render_pass_megakernel_jvp(scene, tan, key, W, H, SPP, config)
         jax.block_until_ready(dot_j)
 
-        def jvp_sync(out):
-            img_j, dot_j = out
-            return float(np.asarray(dot_j)[0, 0, 0]) + float(np.asarray(img_j)[0, 0, 0])
-
         fwd_tangent_samples_per_s, _ = timed_groups(
             lambda i: render_pass_megakernel_jvp(
                 scene, tan, jax.random.fold_in(key, 60 + i), W, H, SPP, config
@@ -280,7 +298,6 @@ def main():
             samples_per_pass,
             groups=3,
             iters=3,
-            sync=jvp_sync,
         )
         fwd_tangent_samples_per_s = round(fwd_tangent_samples_per_s)
     except Exception:

@@ -944,10 +944,27 @@ V4_SUB = 4  # 128-sphere sub-blocks per streamed SMEM block (8 OOMs SMEM)
 # 121.4K: the fixed per-grid-step cost of 4x more inner steps swamps the
 # finer cull even in the reordered bounce regime. Keep 32.
 V4_RAY_ROWS = 32
+# SECOND cull level: streamed blocks per superblock (V4_SUPER * V4_SUB * 128
+# spheres under one AABB, e.g. 8 -> 4096). Once per superblock the kernel
+# slab-tests the union box against the tile with the LIVE t_best and parks
+# the verdict in an SMEM scalar (one per ray tile); the next V4_SUPER outer
+# steps gate their ENTIRE body — 4 sub-block vector slab tests, accumulator
+# reads, predicates — on that scalar. Strictly conservative (union box ⊇
+# sub boxes, min-det ≤ block min-dets, t_best only shrinks after the test),
+# so results stay bit-exact vs V4_SUPER=0; the fixed per-grid-step vector
+# cost that capped the scattered (bounce) regime drops to one SMEM scalar
+# read wherever a whole 4096-sphere neighborhood is unreachable. 0/1 = off.
+V4_SUPER = 8
 
 
-def _build_kernel_v4(rigid, fields, n_outer, sub, subblock, rr):
-    def kernel(ray_ref, sph_ref, box_ref, t_ref, idx_ref, tacc, iacc):
+def _build_kernel_v4(rigid, fields, n_outer, sub, subblock, rr, n_super=None):
+    sb = V4_SUPER
+
+    def kernel(*refs):
+        if n_super is not None:
+            ray_ref, sph_ref, box_ref, sup_ref, t_ref, idx_ref, tacc, iacc, smask = refs
+        else:
+            ray_ref, sph_ref, box_ref, t_ref, idx_ref, tacc, iacc = refs
         s = pl.program_id(0)
         r = pl.program_id(1)
         rowsl = pl.ds(r * rr, rr)
@@ -959,50 +976,76 @@ def _build_kernel_v4(rigid, fields, n_outer, sub, subblock, rr):
 
         o = (ray_ref[0], ray_ref[1], ray_ref[2])
         d = (ray_ref[3], ray_ref[4], ray_ref[5])
-        if rigid:
-            d_dot_o = d[0] * o[0] + d[1] * o[1] + d[2] * o[2]
-            o2 = o[0] * o[0] + o[1] * o[1] + o[2] * o[2]
 
-        for j in range(sub):
-            t_best = tacc[rowsl, :]
-            lo = (box_ref[0, j, 0], box_ref[0, j, 1], box_ref[0, j, 2])
-            hi = (box_ref[0, j, 3], box_ref[0, j, 4], box_ref[0, j, 5])
-            t_enter, t_exit = _slab_test(o, d, lo, hi, t_best)
-            # slot 6 = sub-block min det (det-scaled-t lower bound, see V1)
-            may_hit = (t_exit >= t_enter) & (
-                t_enter * box_ref[0, j, 6] < t_best
-            )
+        if n_super is not None:
+            # refresh this tile's superblock verdict once per V4_SUPER outer
+            # steps, against the LIVE t_best (tighter than any host-side
+            # precompute; conservative for the gated steps because t_best
+            # only shrinks after the test and sub boxes are subsets)
+            @pl.when(s % sb == 0)
+            def _():
+                t_best0 = tacc[rowsl, :]
+                sbi = s // sb
+                lo = (sup_ref[sbi, 0], sup_ref[sbi, 1], sup_ref[sbi, 2])
+                hi = (sup_ref[sbi, 3], sup_ref[sbi, 4], sup_ref[sbi, 5])
+                t_enter, t_exit = _slab_test(o, d, lo, hi, t_best0)
+                may = (t_exit >= t_enter) & (t_enter * sup_ref[sbi, 6] < t_best0)
+                smask[r] = jnp.any(may).astype(jnp.int32)
 
+            gate = smask[r] > 0
+        else:
+            gate = None
+
+        def step_body():
             if rigid:
+                d_dot_o = d[0] * o[0] + d[1] * o[1] + d[2] * o[2]
+                o2 = o[0] * o[0] + o[1] * o[1] + o[2] * o[2]
 
-                def body(i, carry, _j=j):
-                    tb, ib = carry
-                    cx = sph_ref[_j * subblock + i, 0]
-                    cy = sph_ref[_j * subblock + i, 1]
-                    cz = sph_ref[_j * subblock + i, 2]
-                    r2 = sph_ref[_j * subblock + i, 3]
-                    t, valid = _quadratic_rigid(cx, cy, cz, r2, o, d, d_dot_o, o2)
-                    win = valid & (t < tb)
-                    base = (s * sub + _j) * subblock
-                    return jnp.where(win, t, tb), jnp.where(win, base + i, ib)
-
-            else:
-
-                def body(i, carry, _j=j):
-                    tb, ib = carry
-                    rec = [sph_ref[_j * subblock + i, f] for f in range(fields)]
-                    t, valid = _quadratic_general(rec, o, d)
-                    win = valid & (t < tb)
-                    base = (s * sub + _j) * subblock
-                    return jnp.where(win, t, tb), jnp.where(win, base + i, ib)
-
-            @pl.when(jnp.any(may_hit))
-            def _(body=body):
-                t2, i2 = jax.lax.fori_loop(
-                    0, subblock, body, (tacc[rowsl, :], iacc[rowsl, :])
+            for j in range(sub):
+                t_best = tacc[rowsl, :]
+                lo = (box_ref[0, j, 0], box_ref[0, j, 1], box_ref[0, j, 2])
+                hi = (box_ref[0, j, 3], box_ref[0, j, 4], box_ref[0, j, 5])
+                t_enter, t_exit = _slab_test(o, d, lo, hi, t_best)
+                # slot 6 = sub-block min det (det-scaled-t lower bound, see V1)
+                may_hit = (t_exit >= t_enter) & (
+                    t_enter * box_ref[0, j, 6] < t_best
                 )
-                tacc[rowsl, :] = t2
-                iacc[rowsl, :] = i2
+
+                if rigid:
+
+                    def body(i, carry, _j=j):
+                        tb, ib = carry
+                        cx = sph_ref[_j * subblock + i, 0]
+                        cy = sph_ref[_j * subblock + i, 1]
+                        cz = sph_ref[_j * subblock + i, 2]
+                        r2 = sph_ref[_j * subblock + i, 3]
+                        t, valid = _quadratic_rigid(cx, cy, cz, r2, o, d, d_dot_o, o2)
+                        win = valid & (t < tb)
+                        base = (s * sub + _j) * subblock
+                        return jnp.where(win, t, tb), jnp.where(win, base + i, ib)
+
+                else:
+
+                    def body(i, carry, _j=j):
+                        tb, ib = carry
+                        rec = [sph_ref[_j * subblock + i, f] for f in range(fields)]
+                        t, valid = _quadratic_general(rec, o, d)
+                        win = valid & (t < tb)
+                        base = (s * sub + _j) * subblock
+                        return jnp.where(win, t, tb), jnp.where(win, base + i, ib)
+
+                @pl.when(jnp.any(may_hit))
+                def _(body=body):
+                    t2, i2 = jax.lax.fori_loop(
+                        0, subblock, body, (tacc[rowsl, :], iacc[rowsl, :])
+                    )
+                    tacc[rowsl, :] = t2
+                    iacc[rowsl, :] = i2
+
+        if gate is None:
+            step_body()
+        else:
+            pl.when(gate)(step_body)
 
         # the out windows are parked on a dummy tail block until the final
         # outer step (see the index maps): each real block is written once
@@ -1035,13 +1078,38 @@ def _nearest_v4_impl(rigid, o, d, t_max, packed, boxes):
     n_outer = s_pad // big_block
     boxes4 = b2.reshape(n_outer, V4_SUB, 8)
 
+    # second cull level: union AABB + min det over V4_SUPER consecutive
+    # streamed blocks (ragged tail groups just union fewer real boxes —
+    # padding with copies of the last box keeps the union conservative)
+    use_super = V4_SUPER > 1 and n_outer > V4_SUPER
+    if use_super:
+        n_super = -(-n_outer // V4_SUPER)
+        bs = boxes4
+        if n_super * V4_SUPER > n_outer:
+            fill = jnp.broadcast_to(
+                bs[-1:], (n_super * V4_SUPER - n_outer, V4_SUB, 8)
+            )
+            bs = jnp.concatenate([bs, fill], axis=0)
+        bs = bs.reshape(n_super, V4_SUPER * V4_SUB, 8)
+        sboxes = jnp.concatenate(
+            [
+                jnp.min(bs[:, :, 0:3], axis=1),
+                jnp.max(bs[:, :, 3:6], axis=1),
+                jnp.min(bs[:, :, 6:7], axis=1),
+                jnp.zeros((n_super, 1), jnp.float32),
+            ],
+            axis=1,
+        )
+    else:
+        n_super = None
+
     rr = min(V4_RAY_ROWS, RAY_ROWS)
     assert n % (rr * 128) == 0
     rows = n // 128
     n_ray_tiles = rows // rr
     rays = jnp.concatenate([o.T, d.T, t_max[None, :]], axis=0).reshape(7, rows, 128)
 
-    kernel = _build_kernel_v4(rigid, fields, n_outer, V4_SUB, 128, rr)
+    kernel = _build_kernel_v4(rigid, fields, n_outer, V4_SUB, 128, rr, n_super)
 
     # out windows may not be REVISITED non-consecutively (undefined
     # pipelining): park them on a dummy tail block for every outer step but
@@ -1049,14 +1117,29 @@ def _nearest_v4_impl(rigid, o, d, t_max, packed, boxes):
     def out_idx(s, r):
         return (jnp.where(s == n_outer - 1, r, n_ray_tiles), 0)
 
+    in_specs = [
+        pl.BlockSpec((7, rr, 128), lambda s, r: (0, r, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((big_block, fields), lambda s, r: (s, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, V4_SUB, 8), lambda s, r: (s, 0, 0), memory_space=pltpu.SMEM),
+    ]
+    operands = [rays, packed, boxes4]
+    scratch = [
+        pltpu.VMEM((rows, 128), jnp.float32),
+        pltpu.VMEM((rows, 128), jnp.int32),
+    ]
+    if n_super is not None:
+        # whole superblock-box table resident in SMEM (n_super x 8 floats);
+        # per-tile verdict scalars live in an SMEM scratch indexed by r
+        in_specs.append(
+            pl.BlockSpec((n_super, 8), lambda s, r: (0, 0), memory_space=pltpu.SMEM)
+        )
+        operands.append(sboxes)
+        scratch.append(pltpu.SMEM((n_ray_tiles,), jnp.int32))
+
     t, idx = pl.pallas_call(
         kernel,
         grid=(n_outer, n_ray_tiles),
-        in_specs=[
-            pl.BlockSpec((7, rr, 128), lambda s, r: (0, r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((big_block, fields), lambda s, r: (s, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, V4_SUB, 8), lambda s, r: (s, 0, 0), memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((rr, 128), out_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((rr, 128), out_idx, memory_space=pltpu.VMEM),
@@ -1065,11 +1148,8 @@ def _nearest_v4_impl(rigid, o, d, t_max, packed, boxes):
             jax.ShapeDtypeStruct((rows + rr, 128), jnp.float32),
             jax.ShapeDtypeStruct((rows + rr, 128), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((rows, 128), jnp.float32),
-            pltpu.VMEM((rows, 128), jnp.int32),
-        ],
-    )(rays, packed, boxes4)
+        scratch_shapes=scratch,
+    )(*operands)
     return t[:rows].reshape(n), idx[:rows].reshape(n)
 
 
