@@ -1,11 +1,12 @@
 """Reverse-mode geometry kernel vs the forward-mode jvp kernel (interpret).
 
 The two kernels share the estimator, the PCG4D streams and the detachment
-convention (discrete coins + visibility detached), so for a NON-light sphere
-parameter the reverse kernel's table entry must equal the forward kernel's
+convention (discrete coins + visibility detached), so every sphere
+parameter's reverse-kernel table entry must equal the forward kernel's
 tangent image contracted with the cotangent — same-stream, near float-exact.
-(Light spheres differ by design: the reverse kernel detaches the light's
-role as NEE sampler; see megakernel_geom.py docstring.)
+Light spheres included (VERDICT round-2 item 7): the reverse kernel injects
+the one-hot delta into the light record too, covering the NEE-sampler role
+(sample position, solid-angle pdfs, deferred-MIS light pdf).
 """
 
 import dataclasses
@@ -75,23 +76,20 @@ def _is_light(scene, i):
 
 
 def test_center_grads_match_forward_mode(scene, cot, rev):
-    checked = 0
+    checked = lights = 0
     for i in range(int(scene.num_spheres)):
-        if _is_light(scene, i):
-            continue
         for ax in range(3):
             want = _fwd_dot(scene, cot, _center_tangent(scene, i, ax))
             got = float(rev["center"][i, ax])
             np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
             checked += 1
-    assert checked >= 6
+        lights += _is_light(scene, i)
+    assert checked >= 6 and lights >= 1  # light NEE-sampler grads covered
 
 
 def test_radius_grads_match_forward_mode(scene, cot, rev):
     checked = 0
     for i in range(int(scene.num_spheres)):
-        if _is_light(scene, i):
-            continue
         want = _fwd_dot(scene, cot, _radius_tangent(scene, i))
         got = float(rev["radius"][i])
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
@@ -104,6 +102,37 @@ def test_grads_nonzero_and_finite(rev):
         assert np.isfinite(v).all(), k
     assert np.abs(rev["center"]).sum() > 0
     assert np.abs(rev["radius"]).sum() > 0
+
+
+def test_light_center_grad_matches_same_seed_fd(scene):
+    """VERDICT r2 item 7: the LIGHT sphere's center gradient from the
+    reverse-mode kernel — which now includes its NEE-sampler role (sample
+    position + solid-angle pdfs) — pinned against same-seed central
+    differences of the megakernel primal itself. Pixels where FD blows up
+    (a silhouette crossing) are excluded from the cotangent, so the
+    comparison is interior-gradient vs interior-FD."""
+    from kajo_tpu.ops.pallas.megakernel import render_pass_megakernel
+
+    li = int(scene.light_indices[0])  # sphere-array index
+    assert _is_light(scene, li)
+
+    def prim(dz):
+        st = scene.sphere_transform.at[li, 2, 3].add(dz)
+        s2 = dataclasses.replace(scene, sphere_transform=st)
+        with pltpu.force_tpu_interpret_mode():
+            return np.asarray(render_pass_megakernel(s2, KEY, W, H, SPP, CFG))[..., :3]
+
+    h = 1e-3
+    fd = (prim(h) - prim(-h)) / (2 * h)
+    mask = (np.abs(fd) < 50).all(axis=-1, keepdims=True)
+    cot = np.broadcast_to(mask, (H, W, 3)).astype(np.float32)
+    want = float((fd * cot).sum())
+
+    with pltpu.force_tpu_interpret_mode():
+        g = geometry_grads(scene, KEY, jnp.asarray(cot), W, H, SPP, CFG)
+    got = float(g["center"][li, 2])
+    assert abs(want) > 1e-3  # real signal
+    np.testing.assert_allclose(got, want, rtol=0.01)
 
 
 def test_fori_object_path_matches_unrolled(scene, cot, rev):
