@@ -35,7 +35,13 @@ import jax.numpy as jnp
 
 from ..models.integrator import RenderConfig
 from ..ops import bsdf, lights, sampling
-from ..ops.geometry import PreparedScene, generate_rays, prepare_scene, trace
+from ..ops.geometry import (
+    PreparedScene,
+    generate_rays,
+    light_visible,
+    prepare_scene,
+    trace,
+)
 from ..ops.rng import seed_from_key, uniforms4
 from ..scene.types import Scene
 
@@ -76,18 +82,19 @@ def _nee3(prep, hit, mat, u_l, m_lambert, m_phong, eps, trace_fn=trace):
     radius = prep.light_radius[None, :]
     dir_l, pdf_l = lights.sample(u_l[0], u_l[1], u_l[2], center, radius, pos)
 
-    # shadow query bound: the sampled light point is within dist + radius of
-    # the surface, so occluders beyond that cannot change the answer — the
-    # streaming trace uses this to skip sphere blocks beyond the light
-    dist = jnp.linalg.norm(center - pos, axis=-1)
-    t_shadow = (dist + radius + 1.0).reshape(n * num_l)
-    sh = trace_fn(
+    # visibility: ANY-HIT occlusion kernel on the streaming path (geometry.
+    # light_visible; the light hit t is closed-form so "nearest == light"
+    # decomposes into plane + any-sphere-below tests), nearest trace bounded
+    # by dist + radius + 1 elsewhere
+    visible = light_visible(
         prep,
         (pos + dir_l * eps).reshape(n * num_l, 3),
         dir_l.reshape(n * num_l, 3),
-        t_max=t_shadow,
-    )
-    visible = sh.obj.reshape(n, num_l) == prep.light_obj[None, :]
+        jnp.broadcast_to(center, (n, num_l, 3)).reshape(n * num_l, 3),
+        jnp.broadcast_to(radius, (n, num_l)).reshape(n * num_l),
+        jnp.broadcast_to(prep.light_obj[None, :], (n, num_l)).reshape(n * num_l),
+        trace_fn,
+    ).reshape(n, num_l)
     not_self = hit.obj[:, None] != prep.light_obj[None, :]
 
     normal = hit.normal[:, None, :]
@@ -127,10 +134,9 @@ def _nee3_one_light(prep, hit, mat, u_sel, u3, m_lambert, m_phong, eps, trace_fn
 
     pos = hit.position
     dir_l, pdf_l = lights.sample(u3[0], u3[1], u3[2], center, radius, pos)
-    # shadow bound: the light sample is within dist + radius of the surface
-    dist = jnp.linalg.norm(center - pos, axis=-1)
-    sh = trace_fn(prep, pos + dir_l * eps, dir_l, t_max=dist + radius + 1.0)
-    visible = sh.obj == lobj
+    visible = light_visible(
+        prep, pos + dir_l * eps, dir_l, center, radius, lobj, trace_fn
+    )
     not_self = hit.obj != lobj
 
     exp = mat["specular_exponent"]

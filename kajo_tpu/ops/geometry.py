@@ -29,6 +29,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..scene.types import Camera, Materials, Scene
 from ..utils.math3d import unproject
@@ -567,3 +568,78 @@ def trace(prep: PreparedScene, o: jax.Array, d: jax.Array, t_max=None) -> Surfac
         binormal=jnp.where(hit[:, None], binormal, 0.0),
         view=d,
     )
+
+
+# NEE shadow queries on the streaming path answer visibility with the ANY-HIT
+# occlusion kernel (stream_trace.occluded_sphere) instead of a full nearest
+# trace: no winner tracking, and an occluded lane's bound drops to 0 so every
+# later block culls — with front-to-back ordering a shadowed lane stops
+# paying after its first occluder. False = always use the nearest trace.
+OCCL_SHADOW: bool = True
+# Safety shave below the analytic light-hit t: the kernel re-derives each
+# sphere's t with the same stable quadratic, but Mosaic/XLA may contract
+# fma differently, so the light itself could land an ulp below its analytic
+# t and "self-occlude". Shaving the cut by 1e-5 relative + 1e-4 absolute
+# makes self-occlusion impossible (margins >> ulp noise) at the cost of
+# ignoring occluders inside that razor sliver ABOVE the cut — geometrically
+# a shell thinner than the estimator's own surface epsilon offset.
+_OCCL_REL = np.float32(1.0 - 1e-5)
+_OCCL_ABS = np.float32(1e-4)
+
+
+def light_visible(prep: PreparedScene, o, d, center, radius, lobj, trace_fn=None):
+    """NEE visibility: does the nearest hit along (o, d) land on light lobj?
+
+    Semantics = ``trace(prep, o, d).obj == lobj`` (the reference's canReach,
+    cpu/Shader.cpp:205-216 — the shadow ray must FIND the light, so any
+    strictly nearer object occludes). ``center``/``radius``/``lobj`` describe
+    the queried light per ray ([M,3], [M], [M] int32).
+
+    Fast path (rigid streamed scenes, default trace): the light's hit t is
+    closed-form (one stable quadratic), so visibility decomposes into
+    "no plane at t <= t_light" (dense, P is small) and "no sphere strictly
+    below t_light" (ANY-HIT streaming kernel with per-lane sticky-zero
+    bounds). Exactness: identical to the nearest-based answer except inside
+    the _OCCL_REL/_OCCL_ABS shave sliver (see above) and on exact f32 ties —
+    both geometrically measure-zero; gated by equality tests on random
+    scenes (tests/test_bigscene.py)."""
+    num_s = prep.sphere_radius2.shape[0]
+    use_stream = num_s > STREAM_THRESHOLD and _stream_enabled()
+    dflt = trace_fn is None or trace_fn is trace
+    if not (use_stream and prep.rigid and OCCL_SHADOW and dflt):
+        tf = trace_fn or trace
+        dist = jnp.linalg.norm(center - o, axis=-1)
+        sh = tf(prep, o, d, t_max=dist + radius + 1.0)
+        return sh.obj == lobj
+
+    from .pallas.stream_trace import _quadratic_rigid, occluded_sphere, ray_sort_perm
+
+    # analytic light hit — the same stable quadratic the kernels use
+    ot = (o[:, 0], o[:, 1], o[:, 2])
+    dt = (d[:, 0], d[:, 1], d[:, 2])
+    t_l, valid_l = _quadratic_rigid(
+        center[:, 0], center[:, 1], center[:, 2], radius * radius,
+        ot, dt, jnp.sum(d * o, -1), jnp.sum(o * o, -1),
+    )
+
+    if prep.plane_nrow.shape[0]:
+        tp, _ = _intersect_planes(prep, o, d)
+        t_pl = jnp.min(tp, axis=1)
+        plane_occ = t_pl <= t_l  # nearest breaks the tie for the plane
+    else:
+        t_pl = jnp.full_like(t_l, INF)
+        plane_occ = jnp.zeros_like(valid_l)
+
+    t_cut = jnp.minimum(t_l * _OCCL_REL - _OCCL_ABS, t_pl)
+    t_cut = jnp.where(valid_l, t_cut, 0.0)  # light missed: occluded, free
+    if SORT_STREAM_RAYS and prep.stream_boxes is not None:
+        boxes2 = prep.stream_boxes[:, 0, :]
+        blo = jnp.min(boxes2[:, 0:3], axis=0)
+        bhi = jnp.max(boxes2[:, 3:6], axis=0)
+        perm_r = ray_sort_perm(o, d, blo, bhi)
+        occ_s = occluded_sphere(prep, o[perm_r], d[perm_r], t_cut[perm_r])
+        inv_r = jnp.zeros_like(perm_r).at[perm_r].set(jnp.arange(perm_r.shape[0]))
+        sphere_occ = occ_s[inv_r]
+    else:
+        sphere_occ = occluded_sphere(prep, o, d, t_cut)
+    return valid_l & ~plane_occ & ~sphere_occ

@@ -957,11 +957,23 @@ V4_RAY_ROWS = 32
 V4_SUPER = 8
 
 
-def _build_kernel_v4(rigid, fields, n_outer, sub, subblock, rr, n_super=None):
+def _build_kernel_v4(rigid, fields, n_outer, sub, subblock, rr, n_super=None, occl=False):
+    """V4 swapped-grid kernel body. ``occl=True`` builds the ANY-HIT variant:
+    no winner index is tracked; a valid hit strictly below the lane's bound
+    sets the bound to 0 ("occluded", sticky — t >= 0 can never beat 0), so
+    every later sub-block/superblock slab test culls for that lane and fully-
+    occluded tiles skip whole steps on the superblock scalar. Output is the
+    final bound: 0 == occluded, initial t_cut == reachable."""
     sb = V4_SUPER
 
     def kernel(*refs):
-        if n_super is not None:
+        if occl:
+            if n_super is not None:
+                ray_ref, sph_ref, box_ref, sup_ref, t_ref, tacc, smask = refs
+            else:
+                ray_ref, sph_ref, box_ref, t_ref, tacc = refs
+            idx_ref = iacc = None
+        elif n_super is not None:
             ray_ref, sph_ref, box_ref, sup_ref, t_ref, idx_ref, tacc, iacc, smask = refs
         else:
             ray_ref, sph_ref, box_ref, t_ref, idx_ref, tacc, iacc = refs
@@ -972,7 +984,8 @@ def _build_kernel_v4(rigid, fields, n_outer, sub, subblock, rr, n_super=None):
         @pl.when(s == 0)
         def _():
             tacc[rowsl, :] = ray_ref[6]
-            iacc[rowsl, :] = jnp.full((rr, 128), -1, jnp.int32)
+            if not occl:
+                iacc[rowsl, :] = jnp.full((rr, 128), -1, jnp.int32)
 
         o = (ray_ref[0], ray_ref[1], ray_ref[2])
         d = (ray_ref[3], ray_ref[4], ray_ref[5])
@@ -1011,36 +1024,44 @@ def _build_kernel_v4(rigid, fields, n_outer, sub, subblock, rr, n_super=None):
                     t_enter * box_ref[0, j, 6] < t_best
                 )
 
-                if rigid:
-
-                    def body(i, carry, _j=j):
-                        tb, ib = carry
+                def sphere_t(i, _j=j):
+                    if rigid:
                         cx = sph_ref[_j * subblock + i, 0]
                         cy = sph_ref[_j * subblock + i, 1]
                         cz = sph_ref[_j * subblock + i, 2]
                         r2 = sph_ref[_j * subblock + i, 3]
-                        t, valid = _quadratic_rigid(cx, cy, cz, r2, o, d, d_dot_o, o2)
-                        win = valid & (t < tb)
-                        base = (s * sub + _j) * subblock
-                        return jnp.where(win, t, tb), jnp.where(win, base + i, ib)
+                        return _quadratic_rigid(cx, cy, cz, r2, o, d, d_dot_o, o2)
+                    rec = [sph_ref[_j * subblock + i, f] for f in range(fields)]
+                    return _quadratic_general(rec, o, d)
 
+                if occl:
+
+                    def body(i, tb, _j=j):
+                        t, valid = sphere_t(i, _j)
+                        win = valid & (t < tb)
+                        return jnp.where(win, 0.0, tb)
+
+                    @pl.when(jnp.any(may_hit))
+                    def _(body=body):
+                        tacc[rowsl, :] = jax.lax.fori_loop(
+                            0, subblock, body, tacc[rowsl, :]
+                        )
                 else:
 
                     def body(i, carry, _j=j):
                         tb, ib = carry
-                        rec = [sph_ref[_j * subblock + i, f] for f in range(fields)]
-                        t, valid = _quadratic_general(rec, o, d)
+                        t, valid = sphere_t(i, _j)
                         win = valid & (t < tb)
                         base = (s * sub + _j) * subblock
                         return jnp.where(win, t, tb), jnp.where(win, base + i, ib)
 
-                @pl.when(jnp.any(may_hit))
-                def _(body=body):
-                    t2, i2 = jax.lax.fori_loop(
-                        0, subblock, body, (tacc[rowsl, :], iacc[rowsl, :])
-                    )
-                    tacc[rowsl, :] = t2
-                    iacc[rowsl, :] = i2
+                    @pl.when(jnp.any(may_hit))
+                    def _(body=body):
+                        t2, i2 = jax.lax.fori_loop(
+                            0, subblock, body, (tacc[rowsl, :], iacc[rowsl, :])
+                        )
+                        tacc[rowsl, :] = t2
+                        iacc[rowsl, :] = i2
 
         if gate is None:
             step_body()
@@ -1052,12 +1073,23 @@ def _build_kernel_v4(rigid, fields, n_outer, sub, subblock, rr, n_super=None):
         @pl.when(s == n_outer - 1)
         def _():
             t_ref[...] = tacc[rowsl, :]
-            idx_ref[...] = iacc[rowsl, :]
+            if not occl:
+                idx_ref[...] = iacc[rowsl, :]
 
     return kernel
 
 
 def _nearest_v4_impl(rigid, o, d, t_max, packed, boxes):
+    return _v4_impl(rigid, o, d, t_max, packed, boxes, occl=False)
+
+
+def _occluded_v4_impl(rigid, o, d, t_cut, packed, boxes):
+    """ANY-HIT V4: final per-ray bound (0 == some sphere hit strictly below
+    t_cut). Shares every packing/culling decision with the nearest kernel."""
+    return _v4_impl(rigid, o, d, t_cut, packed, boxes, occl=True)
+
+
+def _v4_impl(rigid, o, d, t_max, packed, boxes, occl):
     n = o.shape[0]
     block128 = SPH_BLOCK_RIGID if rigid else SPH_BLOCK_GENERAL
     fields = _F_RIGID if rigid else _F_GENERAL
@@ -1109,7 +1141,7 @@ def _nearest_v4_impl(rigid, o, d, t_max, packed, boxes):
     n_ray_tiles = rows // rr
     rays = jnp.concatenate([o.T, d.T, t_max[None, :]], axis=0).reshape(7, rows, 128)
 
-    kernel = _build_kernel_v4(rigid, fields, n_outer, V4_SUB, 128, rr, n_super)
+    kernel = _build_kernel_v4(rigid, fields, n_outer, V4_SUB, 128, rr, n_super, occl)
 
     # out windows may not be REVISITED non-consecutively (undefined
     # pipelining): park them on a dummy tail block for every outer step but
@@ -1123,10 +1155,9 @@ def _nearest_v4_impl(rigid, o, d, t_max, packed, boxes):
         pl.BlockSpec((1, V4_SUB, 8), lambda s, r: (s, 0, 0), memory_space=pltpu.SMEM),
     ]
     operands = [rays, packed, boxes4]
-    scratch = [
-        pltpu.VMEM((rows, 128), jnp.float32),
-        pltpu.VMEM((rows, 128), jnp.int32),
-    ]
+    scratch = [pltpu.VMEM((rows, 128), jnp.float32)]
+    if not occl:
+        scratch.append(pltpu.VMEM((rows, 128), jnp.int32))
     if n_super is not None:
         # whole superblock-box table resident in SMEM (n_super x 8 floats);
         # per-tile verdict scalars live in an SMEM scratch indexed by r
@@ -1136,16 +1167,29 @@ def _nearest_v4_impl(rigid, o, d, t_max, packed, boxes):
         operands.append(sboxes)
         scratch.append(pltpu.SMEM((n_ray_tiles,), jnp.int32))
 
+    out_spec = pl.BlockSpec((rr, 128), out_idx, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((rows + rr, 128), jnp.float32)
+    if occl:
+        t = pl.pallas_call(
+            kernel,
+            grid=(n_outer, n_ray_tiles),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+        )(*operands)
+        return t[:rows].reshape(n)
+
     t, idx = pl.pallas_call(
         kernel,
         grid=(n_outer, n_ray_tiles),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((rr, 128), out_idx, memory_space=pltpu.VMEM),
+            out_spec,
             pl.BlockSpec((rr, 128), out_idx, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((rows + rr, 128), jnp.float32),
+            out_shape,
             jax.ShapeDtypeStruct((rows + rr, 128), jnp.int32),
         ),
         scratch_shapes=scratch,
@@ -1334,3 +1378,34 @@ def nearest_sphere(prep, o, d, t_max=None):
     # map Morton-sorted winner back to the scene's sphere numbering
     idx_orig = jnp.where(idx >= 0, perm[jnp.maximum(idx, 0)].astype(jnp.int32), -1)
     return jnp.where(idx >= 0, t, jnp.float32(jnp.inf)), idx_orig
+
+
+def occluded_sphere(prep, o, d, t_cut):
+    """ANY-HIT occlusion query: True where some sphere's hit t (the same
+    world / det-scaled-t convention as nearest_sphere) is STRICTLY below the
+    per-ray ``t_cut``. The shadow-query fast path (ops/geometry.light_visible):
+    no winner tracking, and a hit zeroes the lane's search bound so every
+    later sphere block culls on the slab test — with front-to-back block
+    ordering an occluded lane stops paying after its first occluder block,
+    and fully-occluded ray tiles skip whole superblocks. Visibility is
+    discrete: no gradients flow (matches the interior-gradient detachment
+    convention; boundary terms live in diff/edges.py).
+
+    Rays with ``t_cut <= 0`` report occluded and cost nothing (every block
+    culls against a 0 bound)."""
+    n = o.shape[0]
+    cached = getattr(prep, "stream_packed", None)
+    if cached is not None:
+        packed, boxes = prep.stream_packed, prep.stream_boxes
+    else:
+        packed, boxes, _ = build_stream_scene(prep)
+
+    lane_tile = RAY_ROWS * 128
+    n_pad = _round_up(max(n, 1), lane_tile)
+    o_p = jnp.pad(o, ((0, n_pad - n), (0, 0)))
+    d_p = jnp.pad(d, ((0, n_pad - n), (0, 0)))
+    # padding rays get t_cut 0: always "occluded", never tested
+    tc = jnp.pad(jnp.minimum(t_cut, BIG).astype(jnp.float32), (0, n_pad - n))
+    t_out = _occluded_v4_impl(prep.rigid, jax.lax.stop_gradient(o_p),
+                              jax.lax.stop_gradient(d_p), tc, packed, boxes)
+    return t_out[:n] == 0.0

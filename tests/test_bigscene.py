@@ -666,3 +666,66 @@ def test_one_light_nee_statistically_equal():
     assert np.isfinite(o).all()
     rel = abs(o.mean() - a.mean()) / a.mean()
     assert rel < 0.03, rel
+
+
+def test_occlusion_kernel_matches_oracle():
+    """ANY-HIT occlusion kernel (interpret mode) == dense strict-below oracle
+    for primary-like AND scattered rays with mixed per-ray cuts."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from kajo_tpu.ops.pallas.stream_trace import occluded_sphere
+
+    scene = random_spheres_scene(700, seed=5, extent=20.0, n_lights=2)
+    prep = geometry.prepare_scene(scene)
+    xs, ys = jnp.meshgrid(jnp.linspace(0.02, 0.98, 40), jnp.linspace(0.02, 0.98, 30))
+    o_pri, d_pri = geometry.generate_rays(prep.camera, xs.ravel(), ys.ravel())
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(9), 3)
+    o_sc = jax.random.uniform(k1, o_pri.shape, minval=-18.0, maxval=18.0)
+    d_sc = jax.random.normal(k2, d_pri.shape)
+    d_sc = d_sc / jnp.linalg.norm(d_sc, axis=-1, keepdims=True)
+    o = jnp.concatenate([o_pri, o_sc])
+    d = jnp.concatenate([d_pri, d_sc])
+    # cuts spanning "nothing reachable" (0) to "everything" (60)
+    t_cut = jax.random.uniform(k3, (o.shape[0],), minval=0.0, maxval=60.0)
+
+    ts = geometry._intersect_spheres_rigid(prep, o, d)  # [N, S], INF on miss
+    want = np.asarray(jnp.any(ts < t_cut[:, None], axis=1))
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(occluded_sphere(prep, o, d, t_cut))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_occl_shadow_render_bitexact_nearest_visibility():
+    """OCCL_SHADOW (any-hit NEE visibility) produces the IDENTICAL image to
+    the nearest-trace visibility on a rigid streamed scene: the analytic
+    light-t decomposition answers the same canReach question, and the shave
+    sliver is geometrically empty for a random scene (deterministic seed:
+    passes once == passes always)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from kajo_tpu.models.integrator import RenderConfig
+    from kajo_tpu.models.wavefront import render_pass_fast
+
+    scene = random_spheres_scene(400, seed=21, extent=15.0, n_lights=2)
+    cfg = RenderConfig(max_depth=2)
+    orig = geometry.STREAM_THRESHOLD
+    try:
+        geometry.STREAM_THRESHOLD = 64
+        _force_stream(True)
+        with pltpu.force_tpu_interpret_mode():
+            # module flags are baked at trace time: clear the jit cache so
+            # each flag state really traces its own graph
+            geometry.OCCL_SHADOW = False
+            render_pass_fast.clear_cache()
+            a = np.asarray(render_pass_fast(scene, jax.random.PRNGKey(7), 32, 24, 4, cfg))
+            geometry.OCCL_SHADOW = True
+            render_pass_fast.clear_cache()
+            b = np.asarray(render_pass_fast(scene, jax.random.PRNGKey(7), 32, 24, 4, cfg))
+    finally:
+        geometry.STREAM_THRESHOLD = orig
+        geometry.OCCL_SHADOW = True
+        _force_stream(None)
+        render_pass_fast.clear_cache()
+    assert np.isfinite(b).all()
+    np.testing.assert_array_equal(a, b)
