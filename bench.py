@@ -1,18 +1,23 @@
 """Benchmark: samples/s on the flagship config vs the C++ reference renderer.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+Prints a JSON result line — INCREMENTALLY: the line is re-printed (flushed)
+after the headline and after EVERY additional row, so a driver that kills the
+process on a wall-clock timeout still captures the most complete snapshot as
+the last parseable stdout line (round 3's capture died with NOTHING because
+the old bench printed only at the very end). Rows past the wall-clock budget
+(env KAJO_BENCH_BUDGET_S, default 480 s) are marked "skipped".
 
 The baseline is the reference's own estimator (built headless from
 /root/reference via tools/build_reference.sh) measured on this host's CPU at
-the same scene/config. "Samples" are full MIS path-tracing samples per pixel
-(the reference preview's own throughput metric, Preview.cpp:160-166); both
-sides compute the same estimator, so samples/s is the honest end-to-end
+the same scene/config — cached to /tmp/kajo_cpp_baseline.json so re-runs skip
+the build+measure entirely. "Samples" are full MIS path-tracing samples per
+pixel (the reference preview's own throughput metric, Preview.cpp:160-166);
+both sides compute the same estimator, so samples/s is the honest end-to-end
 comparison. Extras report rays/s (primary + NEE shadow + bounce rays actually
-traced by our wavefront) and the fwd+bwd (gradient) rate.
+traced by our wavefront) and the fwd+bwd (gradient) rates.
 
-Variance robustness: every headline metric is the MEDIAN of >= 3 independently
-timed groups; the headline also reports spread_pct = (max-min)/median over its
+Variance robustness: every metric is the MEDIAN of >= 3 independently timed
+groups; the headline also reports spread_pct = (max-min)/median over its
 groups. Every group chains all its results into one device scalar and ends
 with a host readback of it — on this axon runtime, block_until_ready alone
 does NOT guarantee execution (dead results are deferred/elided; see the
@@ -38,8 +43,9 @@ SCENE = "/root/reference/data/spheres.json"
 W, H, SPP = 512, 384, 16
 # Measured on this host (4 CPU threads, -O3 -ffast-math -march=native):
 # tools/ref_driver spheres.json 512 384 16 -> see BASELINE.md. Re-measured
-# live when the oracle binary is available.
+# live when the oracle binary is available, then cached.
 FALLBACK_BASELINE_SAMPLES_PER_S = 11.2e6
+BASELINE_CACHE = "/tmp/kajo_cpp_baseline.json"
 
 
 def _enable_compile_cache():
@@ -105,6 +111,16 @@ def timed_groups(fn, samples_per_iter, groups=3, iters=5):
 
 
 def measure_reference():
+    """C++ oracle samples/s — cached across processes (the build + 2-pass
+    measure costs ~1 min the driver's capture window shouldn't pay twice).
+    Returns (samples_per_s, "live"|"cached"|False)."""
+    try:
+        with open(BASELINE_CACHE) as f:
+            c = json.load(f)
+        if c.get("scene") == SCENE and c.get("config") == [W, H, SPP]:
+            return float(c["samples_per_s"]), "cached"
+    except Exception:
+        pass
     driver = os.path.join(REPO, "tools", "ref_driver")
     if not os.path.exists(driver):
         build = os.path.join(REPO, "tools", "build_reference.sh")
@@ -120,14 +136,57 @@ def measure_reference():
             check=True,
         )
         stats = json.loads(out.stderr.decode().strip().splitlines()[-1])
-        return float(stats["samples_per_s"]), True
+        val = float(stats["samples_per_s"])
+        try:
+            with open(BASELINE_CACHE, "w") as f:
+                json.dump(
+                    {"scene": SCENE, "config": [W, H, SPP], "samples_per_s": val}, f
+                )
+        except Exception:
+            pass
+        return val, "live"
     except Exception:
         return FALLBACK_BASELINE_SAMPLES_PER_S, False
 
 
+class Rows:
+    """Budgeted row runner: emits the (growing) result JSON line after every
+    row so a timeout still leaves the last line parseable; rows started past
+    the wall-clock budget are marked "skipped"."""
+
+    def __init__(self, result, budget_s):
+        self.result = result
+        self.t0 = time.time()
+        self.budget = budget_s
+
+    def emit(self):
+        self.result["elapsed_s"] = round(time.time() - self.t0, 1)
+        print(json.dumps(self.result), flush=True)
+
+    def run(self, keys, fn):
+        if isinstance(keys, str):
+            keys = [keys]
+        if time.time() - self.t0 > self.budget:
+            for k in keys:
+                self.result.setdefault(k, "skipped")
+            self.emit()
+            return False
+        try:
+            vals = fn()
+        except Exception:
+            vals = None
+        if not isinstance(vals, dict):
+            vals = {keys[0]: vals}
+        for k in keys:
+            self.result[k] = vals.get(k)
+        self.emit()
+        return True
+
+
 def main():
     ab_mode = "--ab" in sys.argv[1:]
-    baseline, live = measure_reference()
+    budget_s = float(os.environ.get("KAJO_BENCH_BUDGET_S", "480"))
+    t_start = time.time()
 
     import jax
 
@@ -136,6 +195,18 @@ def main():
     from kajo_tpu.models.engine import render_pass_engine, select_engine
     from kajo_tpu.models.integrator import RenderConfig
     from kajo_tpu.scene import parser
+
+    # baseline from cache when warm; a cold miss measures AFTER the headline
+    baseline, live = None, False
+    try:
+        with open(BASELINE_CACHE) as f:
+            c = json.load(f)
+        if c.get("scene") == SCENE and c.get("config") == [W, H, SPP]:
+            baseline, live = float(c["samples_per_s"]), "cached"
+    except Exception:
+        pass
+    if baseline is None:
+        baseline, live = FALLBACK_BASELINE_SAMPLES_PER_S, False
 
     scene = parser.load(SCENE, W / H)
     config = RenderConfig()
@@ -163,28 +234,59 @@ def main():
         iters=iters,
     )
 
+    result = {
+        "metric": f"samples/s/chip spheres.json {W}x{H} {eff}spp full-MIS path tracing",
+        "value": round(samples_per_s),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_s / baseline, 3),
+        "spread_pct": round(100 * headline_spread, 1),
+        "baseline_cpp_samples_per_s": round(baseline),
+        "baseline_live": live,
+        "engine": engine,
+        "device": str(jax.devices()[0]),
+    }
+    rows = Rows(result, budget_s)
+    rows.t0 = t_start  # budget counts from process start, not headline end
+    rows.emit()  # the headline is on disk from this point on
+
+    # live C++ baseline on cache miss (the cache makes this a one-time cost)
+    if live is False:
+
+        def _baseline_row():
+            b, lv = measure_reference()
+            return {
+                "baseline_cpp_samples_per_s": round(b),
+                "baseline_live": lv,
+                "vs_baseline": round(samples_per_s / b, 3),
+            }
+
+        rows.run(
+            ["baseline_cpp_samples_per_s", "baseline_live", "vs_baseline"],
+            _baseline_row,
+        )
+
     # fwd+bwd (config-4 rate): fused Pallas forward + PRB backward kernels
     # for material-space gradients; geometry grads use the jax budget engine
-    from kajo_tpu.ops.pallas.megakernel_grad import material_grads
-
-    if engine == "mega":
+    def _grad_row():
         import jax.numpy as jnp
 
-        gcot = jnp.ones((H, W, 3), jnp.float32)
-        np.asarray(material_grads(scene, key, gcot, W, H, SPP, config)["diffuse"])  # compile
+        if engine == "mega":
+            from kajo_tpu.ops.pallas.megakernel_grad import material_grads
 
-        def grad_iter(i):
-            img2 = render_pass_engine(
-                engine, scene, jax.random.fold_in(key, 50 + i), W, H, SPP, config
-            )
-            gr = material_grads(scene, jax.random.fold_in(key, 50 + i), gcot, W, H, SPP, config)
-            return (img2, gr["diffuse"])
+            gcot = jnp.ones((H, W, 3), jnp.float32)
+            np.asarray(material_grads(scene, key, gcot, W, H, SPP, config)["diffuse"])
 
-        grad_samples_per_s, _ = timed_groups(
-            grad_iter, samples_per_pass, groups=3, iters=4
-        )
-    else:
-        import jax.numpy as jnp
+            def grad_iter(i):
+                img2 = render_pass_engine(
+                    engine, scene, jax.random.fold_in(key, 50 + i), W, H, SPP, config
+                )
+                gr = material_grads(
+                    scene, jax.random.fold_in(key, 50 + i), gcot, W, H, SPP, config
+                )
+                return (img2, gr["diffuse"])
+
+            rate, _ = timed_groups(grad_iter, samples_per_pass, groups=3, iters=4)
+            return round(rate)
 
         from kajo_tpu.models.wavefront import render_pass_budget
 
@@ -193,18 +295,18 @@ def main():
             return jnp.mean(im[..., :3])
 
         gf = jax.jit(jax.grad(loss))
-        gf(scene)  # compile
-        t0 = time.time()
-        g_out = gf(scene)
-        float(jax.tree_util.tree_leaves(g_out)[0].ravel()[0])  # honest sync
-        dt_g = time.time() - t0
-        grad_samples_per_s = (W // 2) * (H // 2) * 4 / dt_g
+        jax.block_until_ready(gf(scene))  # compile
+        rate, _ = timed_groups(
+            lambda i: gf(scene), (W // 2) * (H // 2) * 4, groups=3, iters=2
+        )
+        return round(rate)
+
+    rows.run("grad_samples_per_s", _grad_row)
 
     # GEOMETRY-grad rate (the honest second number: sphere position/radius
     # gradients run on the differentiable jax budget engine, far below the
     # materials-only fused kernel above)
-    geom_grad_samples_per_s = None
-    try:
+    def _geom_grad_row():
         import dataclasses
 
         import jax.numpy as jnp
@@ -214,126 +316,78 @@ def main():
         gw, gh, gspp = W // 4, H // 4, 4
 
         def geo_loss(st):
-            s2 = dataclasses.replace(jax.tree.map(jnp.asarray, scene), sphere_transform=st)
+            s2 = dataclasses.replace(
+                jax.tree.map(jnp.asarray, scene), sphere_transform=st
+            )
             im = render_pass_budget(s2, key, gw, gh, gspp, config)
             return jnp.mean(im[..., :3])
 
         ggf = jax.jit(jax.grad(geo_loss))
         st0 = jnp.asarray(scene.sphere_transform)
         jax.block_until_ready(ggf(st0))  # compile
-        t0 = time.time()
-        float(ggf(st0).ravel()[0])  # honest sync (see timed_groups)
-        geom_grad_samples_per_s = round(gw * gh * gspp / (time.time() - t0))
-    except Exception:
-        pass
+        rate, _ = timed_groups(lambda i: ggf(st0), gw * gh * gspp, groups=3, iters=2)
+        return round(rate)
+
+    rows.run("geom_grad_samples_per_s", _geom_grad_row)
 
     # GEOMETRY grads at kernel speed: the reverse-mode replay kernel
     # (ops/pallas/megakernel_geom.py) — every sphere center + radius in ONE
     # fused pass (vs one jvp pass per scalar for forward mode, vs the jax
     # budget engine row above)
-    geom_kernel_grad_samples_per_s = None
-    if engine == "mega":
-        try:
-            import jax.numpy as jnp
-
-            from kajo_tpu.ops.pallas.megakernel_geom import geometry_grads
-
-            gcot2 = jnp.ones((H, W, 3), jnp.float32)
-            gg = geometry_grads(scene, key, gcot2, W, H, SPP, config)
-            _ = float(np.asarray(gg["center"]).sum())  # compile + sync
-
-            geom_kernel_grad_samples_per_s, _ = timed_groups(
-                lambda i: geometry_grads(
-                    scene, jax.random.fold_in(key, 70 + i), gcot2, W, H, SPP, config
-                ),
-                samples_per_pass,
-                groups=3,
-                iters=3,
-            )
-            geom_kernel_grad_samples_per_s = round(geom_kernel_grad_samples_per_s)
-        except Exception:
-            pass
-
-    # rays/s from the live-lane counters (wavefront engine)
-    rays_per_s = None
-    try:
-        from kajo_tpu.models.wavefront import render_pass_fast_stats
-
-        img_s, iters_w, rays = render_pass_fast_stats(scene, key, W, H, SPP, config)
-        jax.block_until_ready(img_s)
-        t0 = time.time()
-        img_s, iters_w, rays = render_pass_fast_stats(
-            scene, jax.random.fold_in(key, 77), W, H, SPP, config
-        )
-        total_rays = float(rays)
-        dt_r = time.time() - t0
-        rays_per_s = round(total_rays / dt_r)
-    except Exception:
-        pass
-
-    # forward-mode megakernel: primal+tangent of one scene direction per pass
-    # (the few-parameter geometry-gradient path)
-    fwd_tangent_samples_per_s = None
-    try:
-        import dataclasses
-
+    def _geom_kernel_row():
+        if engine != "mega":
+            return None
         import jax.numpy as jnp
 
-        from kajo_tpu.ops.pallas.megakernel import (
-            render_pass_megakernel_jvp,
-            scene_zero_tangent,
-        )
+        from kajo_tpu.ops.pallas.megakernel_geom import geometry_grads
 
-        tan = scene_zero_tangent(jax.tree.map(jnp.asarray, scene))
-        tan = dataclasses.replace(
-            tan, sphere_transform=tan.sphere_transform.at[1, 0, 3].set(1.0)
-        )
-        img_j, dot_j = render_pass_megakernel_jvp(scene, tan, key, W, H, SPP, config)
-        jax.block_until_ready(dot_j)
+        gcot2 = jnp.ones((H, W, 3), jnp.float32)
+        gg = geometry_grads(scene, key, gcot2, W, H, SPP, config)
+        float(np.asarray(gg["center"]).sum())  # compile + sync
 
-        fwd_tangent_samples_per_s, _ = timed_groups(
-            lambda i: render_pass_megakernel_jvp(
-                scene, tan, jax.random.fold_in(key, 60 + i), W, H, SPP, config
+        rate, _ = timed_groups(
+            lambda i: geometry_grads(
+                scene, jax.random.fold_in(key, 70 + i), gcot2, W, H, SPP, config
             ),
             samples_per_pass,
             groups=3,
             iters=3,
         )
-        fwd_tangent_samples_per_s = round(fwd_tangent_samples_per_s)
-    except Exception:
-        pass
+        return round(rate)
+
+    rows.run("geom_kernel_grad_samples_per_s", _geom_kernel_row)
 
     # big-scene scaling row (BASELINE config 5): 100k spheres through the
     # Pallas streaming trace with Morton block culling
-    bigscene_samples_per_s = None
-    bigscene_nonrigid_samples_per_s = None
-    bigscene_sphere_tests_per_s = None
-    bigscene_r1_defaults_samples_per_s = None
-    try:
-        from kajo_tpu.models.wavefront import render_pass_fast as rpf
-        from kajo_tpu.scene.procedural import random_spheres_scene
+    from kajo_tpu.models.wavefront import render_pass_fast as rpf
+    from kajo_tpu.scene.procedural import random_spheres_scene
 
-        big = random_spheres_scene(100_000, seed=0, extent=60.0)
-        bcfg = RenderConfig(max_depth=2)
-        bw, bh, bspp = 128, 96, 4
-        big_samples = bw * bh * bspp
+    bcfg = RenderConfig(max_depth=2)
+    bw, bh, bspp = 128, 96, 4
+    big_samples = bw * bh * bspp
+    big = random_spheres_scene(100_000, seed=0, extent=60.0)
+
+    def _bigscene_row():
         img_b = rpf(big, key, bw, bh, bspp, bcfg)
         img_b.block_until_ready()
         img_b = rpf(big, jax.random.fold_in(key, 99), bw, bh, bspp, bcfg)
         img_b.block_until_ready()  # second warmup: first post-compile pass is cold
-        bigscene_samples_per_s, _ = timed_groups(
+        rate, _ = timed_groups(
             lambda i: rpf(big, jax.random.fold_in(key, i + 1), bw, bh, bspp, bcfg),
             big_samples,
             groups=3,
             iters=2,
         )
-        bigscene_samples_per_s = round(bigscene_samples_per_s)
+        return round(rate)
 
-        if ab_mode:
-            # A/B: round-1 stream-trace defaults in the SAME process — V1
-            # kernel (sphere blocks inner), no ray reordering, raw Morton
-            # block order. Isolates default-change effects from process
-            # variance for the big-scene row.
+    rows.run("bigscene_100k_samples_per_s", _bigscene_row)
+
+    if ab_mode:
+        # A/B: round-1 stream-trace defaults in the SAME process — V1
+        # kernel (sphere blocks inner), no ray reordering, raw Morton
+        # block order. Isolates default-change effects from process
+        # variance for the big-scene row.
+        def _ab_row():
             from kajo_tpu.ops import geometry as geo
             from kajo_tpu.ops.pallas import stream_trace as st
 
@@ -350,7 +404,7 @@ def main():
                 img_r1.block_until_ready()
                 img_r1 = rpf(big_r1, jax.random.fold_in(key, 99), bw, bh, bspp, bcfg)
                 img_r1.block_until_ready()
-                bigscene_r1_defaults_samples_per_s, _ = timed_groups(
+                rate, _ = timed_groups(
                     lambda i: rpf(
                         big_r1, jax.random.fold_in(key, i + 1), bw, bh, bspp, bcfg
                     ),
@@ -358,62 +412,61 @@ def main():
                     groups=3,
                     iters=2,
                 )
-                bigscene_r1_defaults_samples_per_s = round(
-                    bigscene_r1_defaults_samples_per_s
-                )
+                return round(rate)
             finally:
                 st.KERNEL_V4, geo.SORT_STREAM_RAYS, st.FRONT_TO_BACK = old
 
-        # NON-RIGID big scene (general object-space layout, det-scaled t):
-        # the same config with per-sphere rotations + scales — streams 56 B
-        # per sphere instead of 16, the layout the reference's scaled scenes
-        # would use
-        try:
-            bignr = random_spheres_scene(100_000, seed=0, extent=60.0, scale_jitter=0.5)
-            img_n = rpf(bignr, key, bw, bh, bspp, bcfg)
-            img_n.block_until_ready()
-            img_n = rpf(bignr, jax.random.fold_in(key, 99), bw, bh, bspp, bcfg)
-            img_n.block_until_ready()  # second warmup, like the rigid row
-            bigscene_nonrigid_samples_per_s, _ = timed_groups(
-                lambda i: rpf(bignr, jax.random.fold_in(key, i + 1), bw, bh, bspp, bcfg),
-                big_samples,
-                groups=3,
-                iters=2,
-            )
-            bigscene_nonrigid_samples_per_s = round(bigscene_nonrigid_samples_per_s)
-        except Exception:
-            pass
+        rows.run("bigscene_r1_defaults_samples_per_s", _ab_row)
 
-        # streaming-trace roofline: effective sphere-tests/s on primary rays
+    # NON-RIGID big scene (general object-space layout, det-scaled t):
+    # the same config with per-sphere rotations + scales — streams 56 B
+    # per sphere instead of 16, the layout the reference's scaled scenes
+    # would use
+    def _bigscene_nonrigid_row():
+        bignr = random_spheres_scene(100_000, seed=0, extent=60.0, scale_jitter=0.5)
+        img_n = rpf(bignr, key, bw, bh, bspp, bcfg)
+        img_n.block_until_ready()
+        img_n = rpf(bignr, jax.random.fold_in(key, 99), bw, bh, bspp, bcfg)
+        img_n.block_until_ready()  # second warmup, like the rigid row
+        rate, _ = timed_groups(
+            lambda i: rpf(bignr, jax.random.fold_in(key, i + 1), bw, bh, bspp, bcfg),
+            big_samples,
+            groups=3,
+            iters=2,
+        )
+        return round(rate)
+
+    rows.run("bigscene_nonrigid_samples_per_s", _bigscene_nonrigid_row)
+
+    # streaming-trace roofline: effective sphere-tests/s on primary rays
+    def _sphere_tests_row():
+        import jax.numpy as jnp
+
         from kajo_tpu.ops.geometry import generate_rays, prepare_scene
         from kajo_tpu.ops.pallas.stream_trace import nearest_sphere
 
         prep_b = prepare_scene(big)
-        import jax.numpy as jnp
-
-        xs, ys = jnp.meshgrid(jnp.linspace(0.01, 0.99, bw), jnp.linspace(0.01, 0.99, bh))
+        xs, ys = jnp.meshgrid(
+            jnp.linspace(0.01, 0.99, bw), jnp.linspace(0.01, 0.99, bh)
+        )
         ob, db = generate_rays(prep_b.camera, xs.ravel(), ys.ravel())
         tf = jax.jit(lambda o, d: nearest_sphere(prep_b, o, d))
         jax.block_until_ready(tf(ob, db))
-        bigscene_sphere_tests_per_s, _ = timed_groups(
-            lambda i: tf(ob, db)[0],
-            bw * bh * 100_000,
-            groups=3,
-            iters=5,
+        rate, _ = timed_groups(
+            lambda i: tf(ob, db)[0], bw * bh * 100_000, groups=3, iters=5
         )
-        bigscene_sphere_tests_per_s = round(bigscene_sphere_tests_per_s)
-    except Exception:
-        pass
+        return round(rate)
+
+    rows.run("bigscene_sphere_tests_per_s", _sphere_tests_row)
 
     # NON-RIGID megakernel row: data/scaled.json (general object-space
     # record, det-scaled t, fwd3 normals) through the fused kernel — the
     # scene class that used to fall off to the ~2-7M samples/s jax wavefront
-    nonrigid_mega_samples_per_s = None
-    try:
+    def _nonrigid_mega_row():
         scene_nr = parser.load(os.path.join(REPO, "data", "scaled.json"), W / H)
         eng_nr = select_engine(scene_nr)
         render_pass_engine(eng_nr, scene_nr, key, W, H, SPP, config).block_until_ready()
-        nonrigid_mega_samples_per_s, _ = timed_groups(
+        rate, _ = timed_groups(
             lambda i: render_pass_engine(
                 eng_nr, scene_nr, jax.random.fold_in(key, 80 + i), W, H, SPP, config
             ),
@@ -421,17 +474,16 @@ def main():
             groups=3,
             iters=iters,
         )
-        nonrigid_mega_samples_per_s = round(nonrigid_mega_samples_per_s)
-    except Exception:
-        pass
+        return round(rate)
+
+    rows.run("nonrigid_mega_samples_per_s", _nonrigid_mega_row)
 
     # config-3 extra: the caustics scene (delta BSDFs + refraction)
-    caustics_rate = None
-    try:
+    def _caustics_row():
         scene_c = parser.load(os.path.join(REPO, "data", "caustics.json"), W / H)
         eng_c = select_engine(scene_c)
         render_pass_engine(eng_c, scene_c, key, W, H, SPP, config).block_until_ready()
-        caustics_rate, _ = timed_groups(
+        rate, _ = timed_groups(
             lambda i: render_pass_engine(
                 eng_c, scene_c, jax.random.fold_in(key, 90 + i), W, H, SPP, config
             ),
@@ -439,34 +491,58 @@ def main():
             groups=3,
             iters=iters,
         )
-        caustics_rate = round(caustics_rate)
-    except Exception:
-        pass
+        return round(rate)
 
-    result = {
-        "metric": f"samples/s/chip spheres.json {W}x{H} {eff}spp full-MIS path tracing",
-        "value": round(samples_per_s),
-        "unit": "samples/s",
-        "vs_baseline": round(samples_per_s / baseline, 3),
-        "spread_pct": round(100 * headline_spread, 1),
-        "baseline_cpp_samples_per_s": round(baseline),
-        "baseline_live": live,
-        "grad_samples_per_s": round(grad_samples_per_s),
-        "geom_grad_samples_per_s": geom_grad_samples_per_s,
-        "geom_kernel_grad_samples_per_s": geom_kernel_grad_samples_per_s,
-        "fwd_tangent_samples_per_s": fwd_tangent_samples_per_s,
-        "rays_per_s": rays_per_s,
-        "nonrigid_mega_samples_per_s": nonrigid_mega_samples_per_s,
-        "caustics_samples_per_s": caustics_rate,
-        "bigscene_100k_samples_per_s": bigscene_samples_per_s,
-        "bigscene_nonrigid_samples_per_s": bigscene_nonrigid_samples_per_s,
-        "bigscene_sphere_tests_per_s": bigscene_sphere_tests_per_s,
-        "engine": engine,
-        "device": str(jax.devices()[0]),
-    }
-    if ab_mode:
-        result["bigscene_r1_defaults_samples_per_s"] = bigscene_r1_defaults_samples_per_s
-    print(json.dumps(result))
+    rows.run("caustics_samples_per_s", _caustics_row)
+
+    # forward-mode megakernel: primal+tangent of one scene direction per pass
+    # (the few-parameter geometry-gradient path)
+    def _fwd_tangent_row():
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from kajo_tpu.ops.pallas.megakernel import (
+            render_pass_megakernel_jvp,
+            scene_zero_tangent,
+        )
+
+        tan = scene_zero_tangent(jax.tree.map(jnp.asarray, scene))
+        tan = dataclasses.replace(
+            tan, sphere_transform=tan.sphere_transform.at[1, 0, 3].set(1.0)
+        )
+        img_j, dot_j = render_pass_megakernel_jvp(scene, tan, key, W, H, SPP, config)
+        jax.block_until_ready(dot_j)
+
+        rate, _ = timed_groups(
+            lambda i: render_pass_megakernel_jvp(
+                scene, tan, jax.random.fold_in(key, 60 + i), W, H, SPP, config
+            ),
+            samples_per_pass,
+            groups=3,
+            iters=3,
+        )
+        return round(rate)
+
+    rows.run("fwd_tangent_samples_per_s", _fwd_tangent_row)
+
+    # rays/s from the live-lane counters (wavefront engine)
+    def _rays_row():
+        from kajo_tpu.models.wavefront import render_pass_fast_stats
+
+        img_s, iters_w, rays = render_pass_fast_stats(scene, key, W, H, SPP, config)
+        jax.block_until_ready(img_s)
+        t0 = time.time()
+        img_s, iters_w, rays = render_pass_fast_stats(
+            scene, jax.random.fold_in(key, 77), W, H, SPP, config
+        )
+        total_rays = float(rays)  # host readback: honest sync
+        dt_r = time.time() - t0
+        return round(total_rays / dt_r)
+
+    rows.run("rays_per_s", _rays_row)
+
+    rows.emit()
 
 
 if __name__ == "__main__":

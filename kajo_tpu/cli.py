@@ -224,75 +224,87 @@ def main(argv=None) -> int:
     first = True
     last_save_bucket = start_pass // args.save_every if args.save_every else 0
     n_dev = len(jax.devices()) if (args.shard or args.shard_objects) else 1
+    from .utils.keys import CTRL_S, ESC, key_poller
+
     try:
-        p = start_pass
-        while p < start_pass + n_passes:
-            t_pass = time.time()
-            nb = min(batch, start_pass + n_passes - p)
-            if args.shard_objects:
-                from .parallel.objshard import render_pass_fast_objsharded
-                from .parallel.render import make_mesh
+        with key_poller() as poll_keys:
+            p = start_pass
+            while p < start_pass + n_passes:
+                t_pass = time.time()
+                nb = min(batch, start_pass + n_passes - p)
+                if args.shard_objects:
+                    from .parallel.objshard import render_pass_fast_objsharded
+                    from .parallel.render import make_mesh
 
-                nb = 1
-                pass_img = render_pass_fast_objsharded(
-                    scene, jax.random.fold_in(key, p), args.width,
-                    args.height, args.spp, config, make_mesh(),
-                )
-            elif args.shard:
-                from .parallel.render import make_mesh, render_pass_sharded_engine
+                    nb = 1
+                    pass_img = render_pass_fast_objsharded(
+                        scene, jax.random.fold_in(key, p), args.width,
+                        args.height, args.spp, config, make_mesh(),
+                    )
+                elif args.shard:
+                    from .parallel.render import make_mesh, render_pass_sharded_engine
 
-                nb = 1
-                pass_img = render_pass_sharded_engine(
-                    engine, scene, jax.random.fold_in(key, p), args.width,
-                    args.height, args.spp, config, make_mesh(),
-                )
-            elif nb > 1:
-                from .ops.pallas.megakernel import render_passes_megakernel
+                    nb = 1
+                    pass_img = render_pass_sharded_engine(
+                        engine, scene, jax.random.fold_in(key, p), args.width,
+                        args.height, args.spp, config, make_mesh(),
+                    )
+                elif nb > 1:
+                    from .ops.pallas.megakernel import render_passes_megakernel
 
-                pass_img = render_passes_megakernel(
-                    scene, key, p, args.width, args.height, args.spp, nb, config
+                    pass_img = render_passes_megakernel(
+                        scene, key, p, args.width, args.height, args.spp, nb, config
+                    )
+                else:
+                    pass_img = render_pass_engine(
+                        engine, scene, jax.random.fold_in(key, p), args.width, args.height, args.spp, config
+                    )
+                total += np.asarray(pass_img)
+                done = p + nb
+                p = done
+                pass_samples = nb * args.width * args.height * eff_spp
+                samples_done += pass_samples
+                now = time.time()
+                elapsed = now - t0
+                rate = pass_samples / max(now - t_pass, 1e-9)
+                # per-device throughput: the TPU translation of the reference
+                # preview's per-thread bars (Preview.cpp:183-201) — SPMD shards
+                # are equal, so one number per device tells the same story
+                per_dev = (
+                    f" [{n_dev} devices x {format_si(rate / n_dev)}/dev]" if n_dev > 1 else ""
                 )
-            else:
-                pass_img = render_pass_engine(
-                    engine, scene, jax.random.fold_in(key, p), args.width, args.height, args.spp, config
+                print(
+                    f"pass {done}: {args.width}x{args.height}, {elapsed:.1f}s, "
+                    f"{done * eff_spp} samples/pixel, {format_si(rate)} samples/s"
+                    + per_dev
+                    + (" (incl. compile)" if first else ""),
+                    file=sys.stderr,
                 )
-            total += np.asarray(pass_img)
-            done = p + nb
-            p = done
-            pass_samples = nb * args.width * args.height * eff_spp
-            samples_done += pass_samples
-            now = time.time()
-            elapsed = now - t0
-            rate = pass_samples / max(now - t_pass, 1e-9)
-            # per-device throughput: the TPU translation of the reference
-            # preview's per-thread bars (Preview.cpp:183-201) — SPMD shards
-            # are equal, so one number per device tells the same story
-            per_dev = (
-                f" [{n_dev} devices x {format_si(rate / n_dev)}/dev]" if n_dev > 1 else ""
-            )
-            print(
-                f"pass {done}: {args.width}x{args.height}, {elapsed:.1f}s, "
-                f"{done * eff_spp} samples/pixel, {format_si(rate)} samples/s"
-                + per_dev
-                + (" (incl. compile)" if first else ""),
-                file=sys.stderr,
-            )
-            first = False
-            if args.preview:
-                from .utils.preview import show
+                first = False
+                if args.preview:
+                    from .utils.preview import show
 
-                show(
-                    total / done,
-                    f"pass {done}  {args.width}x{args.height}  {elapsed:.1f}s  "
-                    f"{done * eff_spp} spp  {format_si(rate)} samples/s",
-                )
-            # bucket-based periodic save: batched engines advance several
-            # passes at once, so exact divisibility would skip saves
-            if args.save_every and done // args.save_every > last_save_bucket:
-                last_save_bucket = done // args.save_every
-                save_png(args.out, total / done)
-            if args.checkpoint:
-                np.savez(args.checkpoint, total=total, passes=done, **ck_meta)
+                    show(
+                        total / done,
+                        f"pass {done}  {args.width}x{args.height}  {elapsed:.1f}s  "
+                        f"{done * eff_spp} spp  {format_si(rate)} samples/s",
+                    )
+                # bucket-based periodic save: batched engines advance several
+                # passes at once, so exact divisibility would skip saves
+                if args.save_every and done // args.save_every > last_save_bucket:
+                    last_save_bucket = done // args.save_every
+                    save_png(args.out, total / done)
+                if args.checkpoint:
+                    np.savez(args.checkpoint, total=total, passes=done, **ck_meta)
+                # interactive keys (Preview.cpp:216-234): s / Ctrl-S saves the
+                # running accumulation, ESC ends the render (still saved below)
+                pressed = poll_keys()
+                if any(c in ("s", "S", CTRL_S) for c in pressed):
+                    save_png(args.out, total / done)
+                    print(f"saved {args.out} (keypress)", file=sys.stderr)
+                if ESC in pressed:
+                    print("ESC: stopping", file=sys.stderr)
+                    break
     except KeyboardInterrupt:
         print("interrupted, saving", file=sys.stderr)
 

@@ -576,15 +576,6 @@ def trace(prep: PreparedScene, o: jax.Array, d: jax.Array, t_max=None) -> Surfac
 # later block culls — with front-to-back ordering a shadowed lane stops
 # paying after its first occluder. False = always use the nearest trace.
 OCCL_SHADOW: bool = True
-# Safety shave below the analytic light-hit t: the kernel re-derives each
-# sphere's t with the same stable quadratic, but Mosaic/XLA may contract
-# fma differently, so the light itself could land an ulp below its analytic
-# t and "self-occlude". Shaving the cut by 1e-5 relative + 1e-4 absolute
-# makes self-occlusion impossible (margins >> ulp noise) at the cost of
-# ignoring occluders inside that razor sliver ABOVE the cut — geometrically
-# a shell thinner than the estimator's own surface epsilon offset.
-_OCCL_REL = np.float32(1.0 - 1e-5)
-_OCCL_ABS = np.float32(1e-4)
 
 
 def light_visible(prep: PreparedScene, o, d, center, radius, lobj, trace_fn=None):
@@ -596,17 +587,21 @@ def light_visible(prep: PreparedScene, o, d, center, radius, lobj, trace_fn=None
     the queried light per ray ([M,3], [M], [M] int32).
 
     Fast path (rigid streamed scenes, default trace): the light's hit t is
-    closed-form (one stable quadratic), so visibility decomposes into
-    "no plane at t <= t_light" (dense, P is small) and "no sphere strictly
-    below t_light" (ANY-HIT streaming kernel with per-lane sticky-zero
-    bounds). Exactness: identical to the nearest-based answer except inside
-    the _OCCL_REL/_OCCL_ABS shave sliver (see above) and on exact f32 ties —
-    both geometrically measure-zero; gated by equality tests on random
-    scenes (tests/test_bigscene.py)."""
+    closed-form (the SAME stable quadratic, same operand order, same input
+    bits — center/radius come from the identical prepare_scene gathers the
+    packed stream was built from), so visibility decomposes into "no plane
+    at t <= t_light" (dense, P is small) and "no OTHER sphere strictly below
+    t_light" (ANY-HIT streaming kernel with per-lane sticky-zero bounds; the
+    light's own Morton index is excluded in-kernel, so tangency-grade fp
+    noise can never self-occlude). Exactness vs the nearest-based answer:
+    identical up to exact f32 ties between DISTINCT objects (nearest breaks
+    them by stream order; measure-zero for real scenes) — gated by an
+    equality test on a random scene (tests/test_bigscene.py)."""
     num_s = prep.sphere_radius2.shape[0]
     use_stream = num_s > STREAM_THRESHOLD and _stream_enabled()
     dflt = trace_fn is None or trace_fn is trace
-    if not (use_stream and prep.rigid and OCCL_SHADOW and dflt):
+    if not (use_stream and prep.rigid and OCCL_SHADOW and dflt
+            and prep.stream_perm is not None):
         tf = trace_fn or trace
         dist = jnp.linalg.norm(center - o, axis=-1)
         sh = tf(prep, o, d, t_max=dist + radius + 1.0)
@@ -614,12 +609,16 @@ def light_visible(prep: PreparedScene, o, d, center, radius, lobj, trace_fn=None
 
     from .pallas.stream_trace import _quadratic_rigid, occluded_sphere, ray_sort_perm
 
-    # analytic light hit — the same stable quadratic the kernels use
+    # analytic light hit — bit-identical to the nearest kernel's own compute:
+    # same stable quadratic with d.o / o.o accumulated in the kernel's
+    # left-to-right component order
     ot = (o[:, 0], o[:, 1], o[:, 2])
     dt = (d[:, 0], d[:, 1], d[:, 2])
+    d_dot_o = dt[0] * ot[0] + dt[1] * ot[1] + dt[2] * ot[2]
+    o2 = ot[0] * ot[0] + ot[1] * ot[1] + ot[2] * ot[2]
     t_l, valid_l = _quadratic_rigid(
         center[:, 0], center[:, 1], center[:, 2], radius * radius,
-        ot, dt, jnp.sum(d * o, -1), jnp.sum(o * o, -1),
+        ot, dt, d_dot_o, o2,
     )
 
     if prep.plane_nrow.shape[0]:
@@ -630,16 +629,29 @@ def light_visible(prep: PreparedScene, o, d, center, radius, lobj, trace_fn=None
         t_pl = jnp.full_like(t_l, INF)
         plane_occ = jnp.zeros_like(valid_l)
 
-    t_cut = jnp.minimum(t_l * _OCCL_REL - _OCCL_ABS, t_pl)
+    # the light's own sphere is excluded in-kernel: the cut is the EXACT t_l.
+    # stream_perm is padded to whole blocks (pad rows map to sphere 0, packed
+    # r2 == -1) and block-permuted — route pad rows out of range so the
+    # scatter drops them instead of clobbering sphere 0's true position
+    num_p = prep.plane_nrow.shape[0]
+    sp = prep.stream_perm.astype(jnp.int32)
+    tgt = jnp.where(prep.stream_packed[:, 3] < 0.0, num_s, sp)
+    inv_perm = jnp.zeros((num_s,), jnp.int32).at[tgt].set(
+        jnp.arange(sp.shape[0], dtype=jnp.int32), mode="drop"
+    )
+    excl = inv_perm[jnp.clip(lobj - num_p, 0, num_s - 1)]
+    t_cut = jnp.minimum(t_l, t_pl)
     t_cut = jnp.where(valid_l, t_cut, 0.0)  # light missed: occluded, free
     if SORT_STREAM_RAYS and prep.stream_boxes is not None:
         boxes2 = prep.stream_boxes[:, 0, :]
         blo = jnp.min(boxes2[:, 0:3], axis=0)
         bhi = jnp.max(boxes2[:, 3:6], axis=0)
         perm_r = ray_sort_perm(o, d, blo, bhi)
-        occ_s = occluded_sphere(prep, o[perm_r], d[perm_r], t_cut[perm_r])
+        occ_s = occluded_sphere(
+            prep, o[perm_r], d[perm_r], t_cut[perm_r], excl[perm_r]
+        )
         inv_r = jnp.zeros_like(perm_r).at[perm_r].set(jnp.arange(perm_r.shape[0]))
         sphere_occ = occ_s[inv_r]
     else:
-        sphere_occ = occluded_sphere(prep, o, d, t_cut)
+        sphere_occ = occluded_sphere(prep, o, d, t_cut, excl)
     return valid_l & ~plane_occ & ~sphere_occ

@@ -963,7 +963,11 @@ def _build_kernel_v4(rigid, fields, n_outer, sub, subblock, rr, n_super=None, oc
     sets the bound to 0 ("occluded", sticky — t >= 0 can never beat 0), so
     every later sub-block/superblock slab test culls for that lane and fully-
     occluded tiles skip whole steps on the superblock scalar. Output is the
-    final bound: 0 == occluded, initial t_cut == reachable."""
+    final bound: 0 == occluded, initial t_cut == reachable. The occl ray
+    block carries an 8th row: the per-lane EXCLUDED sphere's Morton-sorted
+    index (int32 bitcast to f32; -1 = none) — NEE shadow queries exclude the
+    queried light's own sphere so its t never has to be re-derived in-kernel
+    (kills tangency-noise self-occlusion exactly, not by an epsilon shave)."""
     sb = V4_SUPER
 
     def kernel(*refs):
@@ -989,6 +993,8 @@ def _build_kernel_v4(rigid, fields, n_outer, sub, subblock, rr, n_super=None, oc
 
         o = (ray_ref[0], ray_ref[1], ray_ref[2])
         d = (ray_ref[3], ray_ref[4], ray_ref[5])
+        if occl:
+            excl = jax.lax.bitcast_convert_type(ray_ref[7], jnp.int32)
 
         if n_super is not None:
             # refresh this tile's superblock verdict once per V4_SUPER outer
@@ -1038,7 +1044,8 @@ def _build_kernel_v4(rigid, fields, n_outer, sub, subblock, rr, n_super=None, oc
 
                     def body(i, tb, _j=j):
                         t, valid = sphere_t(i, _j)
-                        win = valid & (t < tb)
+                        base = (s * sub + _j) * subblock
+                        win = valid & (t < tb) & (base + i != excl)
                         return jnp.where(win, 0.0, tb)
 
                     @pl.when(jnp.any(may_hit))
@@ -1083,13 +1090,14 @@ def _nearest_v4_impl(rigid, o, d, t_max, packed, boxes):
     return _v4_impl(rigid, o, d, t_max, packed, boxes, occl=False)
 
 
-def _occluded_v4_impl(rigid, o, d, t_cut, packed, boxes):
+def _occluded_v4_impl(rigid, o, d, t_cut, packed, boxes, excl=None):
     """ANY-HIT V4: final per-ray bound (0 == some sphere hit strictly below
-    t_cut). Shares every packing/culling decision with the nearest kernel."""
-    return _v4_impl(rigid, o, d, t_cut, packed, boxes, occl=True)
+    t_cut, the per-ray ``excl`` Morton index skipped). Shares every
+    packing/culling decision with the nearest kernel."""
+    return _v4_impl(rigid, o, d, t_cut, packed, boxes, occl=True, excl=excl)
 
 
-def _v4_impl(rigid, o, d, t_max, packed, boxes, occl):
+def _v4_impl(rigid, o, d, t_max, packed, boxes, occl, excl=None):
     n = o.shape[0]
     block128 = SPH_BLOCK_RIGID if rigid else SPH_BLOCK_GENERAL
     fields = _F_RIGID if rigid else _F_GENERAL
@@ -1139,7 +1147,15 @@ def _v4_impl(rigid, o, d, t_max, packed, boxes, occl):
     assert n % (rr * 128) == 0
     rows = n // 128
     n_ray_tiles = rows // rr
-    rays = jnp.concatenate([o.T, d.T, t_max[None, :]], axis=0).reshape(7, rows, 128)
+    parts = [o.T, d.T, t_max[None, :]]
+    if occl:
+        if excl is None:
+            excl = jnp.full((n,), -1, jnp.int32)
+        parts.append(
+            jax.lax.bitcast_convert_type(excl.astype(jnp.int32), jnp.float32)[None, :]
+        )
+    nrows = 8 if occl else 7  # o(3) + d(3) + bound(1) [+ occl exclusion row]
+    rays = jnp.concatenate(parts, axis=0).reshape(nrows, rows, 128)
 
     kernel = _build_kernel_v4(rigid, fields, n_outer, V4_SUB, 128, rr, n_super, occl)
 
@@ -1150,7 +1166,7 @@ def _v4_impl(rigid, o, d, t_max, packed, boxes, occl):
         return (jnp.where(s == n_outer - 1, r, n_ray_tiles), 0)
 
     in_specs = [
-        pl.BlockSpec((7, rr, 128), lambda s, r: (0, r, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nrows, rr, 128), lambda s, r: (0, r, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((big_block, fields), lambda s, r: (s, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, V4_SUB, 8), lambda s, r: (s, 0, 0), memory_space=pltpu.SMEM),
     ]
@@ -1380,32 +1396,43 @@ def nearest_sphere(prep, o, d, t_max=None):
     return jnp.where(idx >= 0, t, jnp.float32(jnp.inf)), idx_orig
 
 
-def occluded_sphere(prep, o, d, t_cut):
+def occluded_sphere(prep, o, d, t_cut, excl=None):
     """ANY-HIT occlusion query: True where some sphere's hit t (the same
     world / det-scaled-t convention as nearest_sphere) is STRICTLY below the
-    per-ray ``t_cut``. The shadow-query fast path (ops/geometry.light_visible):
-    no winner tracking, and a hit zeroes the lane's search bound so every
-    later sphere block culls on the slab test — with front-to-back block
-    ordering an occluded lane stops paying after its first occluder block,
-    and fully-occluded ray tiles skip whole superblocks. Visibility is
-    discrete: no gradients flow (matches the interior-gradient detachment
-    convention; boundary terms live in diff/edges.py).
+    per-ray ``t_cut``, skipping the per-ray ``excl`` Morton-sorted sphere
+    index (int32, -1 = none — NEE passes the queried light's own sphere so
+    self-occlusion is excluded structurally). The shadow-query fast path
+    (ops/geometry.light_visible): no winner tracking, and a hit zeroes the
+    lane's search bound so every later sphere block culls on the slab test —
+    with front-to-back block ordering an occluded lane stops paying after
+    its first occluder block, and fully-occluded ray tiles skip whole
+    superblocks. Visibility is discrete: EVERY input is stop_gradient-ed
+    (matches the interior-gradient detachment convention; boundary terms
+    live in diff/edges.py), which also keeps Pallas's missing JVP rule out
+    of ``jax.grad`` through callers.
 
-    Rays with ``t_cut <= 0`` report occluded and cost nothing (every block
-    culls against a 0 bound)."""
+    Rays with ``t_cut <= 0`` are clamped to a 0 bound and report occluded
+    at no cost (every block culls against 0)."""
     n = o.shape[0]
     cached = getattr(prep, "stream_packed", None)
     if cached is not None:
         packed, boxes = prep.stream_packed, prep.stream_boxes
     else:
         packed, boxes, _ = build_stream_scene(prep)
+    packed = jax.lax.stop_gradient(packed)
+    boxes = jax.lax.stop_gradient(boxes)
 
     lane_tile = RAY_ROWS * 128
     n_pad = _round_up(max(n, 1), lane_tile)
     o_p = jnp.pad(o, ((0, n_pad - n), (0, 0)))
     d_p = jnp.pad(d, ((0, n_pad - n), (0, 0)))
     # padding rays get t_cut 0: always "occluded", never tested
-    tc = jnp.pad(jnp.minimum(t_cut, BIG).astype(jnp.float32), (0, n_pad - n))
+    tc = jnp.clip(jax.lax.stop_gradient(t_cut), 0.0, BIG).astype(jnp.float32)
+    tc = jnp.pad(tc, (0, n_pad - n))
+    if excl is not None:
+        excl = jnp.pad(jax.lax.stop_gradient(excl).astype(jnp.int32),
+                       (0, n_pad - n), constant_values=-1)
     t_out = _occluded_v4_impl(prep.rigid, jax.lax.stop_gradient(o_p),
-                              jax.lax.stop_gradient(d_p), tc, packed, boxes)
+                              jax.lax.stop_gradient(d_p), tc, packed, boxes,
+                              excl)
     return t_out[:n] == 0.0

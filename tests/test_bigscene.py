@@ -696,6 +696,57 @@ def test_occlusion_kernel_matches_oracle():
     np.testing.assert_array_equal(got, want)
 
 
+def test_v4_super_gating_bitexact():
+    """The V4 second-level superblock cull (SMEM verdict scalar gating whole
+    outer steps) is a pure work-skip: nearest AND any-hit answers are
+    bit-identical with the gate off, including a ragged n_outer % V4_SUPER
+    tail. Real scenes only cross n_outer > 8 above ~4096 spheres, which
+    interpret-mode tests never reach — patch V4_SUPER down so this CI run
+    actually executes the gated kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from kajo_tpu.ops.pallas import stream_trace as st
+
+    # 2600 spheres -> 128-padded 2688 -> 512-padded 3072 -> n_outer = 6:
+    # V4_SUPER=2 divides evenly (n_super 3), V4_SUPER=4 leaves a ragged
+    # tail (6 % 4 == 2) exercising the union-of-copies padding
+    scene = random_spheres_scene(2600, seed=33, extent=25.0, n_lights=2)
+    prep = geometry.prepare_scene(scene)
+    xs, ys = jnp.meshgrid(jnp.linspace(0.02, 0.98, 32), jnp.linspace(0.02, 0.98, 16))
+    o_pri, d_pri = geometry.generate_rays(prep.camera, xs.ravel(), ys.ravel())
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(19), 3)
+    o_sc = jax.random.uniform(k1, o_pri.shape, minval=-22.0, maxval=22.0)
+    d_sc = jax.random.normal(k2, d_pri.shape)
+    d_sc = d_sc / jnp.linalg.norm(d_sc, axis=-1, keepdims=True)
+    o = jnp.concatenate([o_pri, o_sc])
+    d = jnp.concatenate([d_pri, d_sc])
+    t_cut = jax.random.uniform(k3, (o.shape[0],), minval=0.0, maxval=60.0)
+
+    from kajo_tpu.ops.pallas.stream_trace import nearest_sphere, occluded_sphere
+
+    orig = geometry.STREAM_THRESHOLD
+    saved = st.V4_SUPER
+    got = {}
+    try:
+        geometry.STREAM_THRESHOLD = 64
+        _force_stream(True)
+        with pltpu.force_tpu_interpret_mode():
+            for sup in (0, 2, 4):
+                st.V4_SUPER = sup
+                got[sup] = (
+                    np.asarray(nearest_sphere(prep, o, d)[0]),
+                    np.asarray(nearest_sphere(prep, o, d)[1]),
+                    np.asarray(occluded_sphere(prep, o, d, t_cut)),
+                )
+    finally:
+        geometry.STREAM_THRESHOLD = orig
+        st.V4_SUPER = saved
+        _force_stream(None)
+    for sup in (2, 4):
+        for a, b in zip(got[0], got[sup]):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_occl_shadow_render_bitexact_nearest_visibility():
     """OCCL_SHADOW (any-hit NEE visibility) produces the IDENTICAL image to
     the nearest-trace visibility on a rigid streamed scene: the analytic

@@ -114,3 +114,63 @@ def test_shard_objects_flag(tmp_path):
                  "/root/reference/data/spheres.json"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert out.exists()
+
+
+def test_preview_keys_esc_stops_and_saves(tmp_path):
+    """ESC on the controlling terminal ends the progressive loop early
+    (Preview.cpp:216-234 translation); the accumulated image is still saved.
+    Driven through a real pty so stdin.isatty() is true in the child."""
+    import pty
+    import time
+
+    out = tmp_path / "esc.png"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    master, slave = pty.openpty()
+    try:
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "kajo_tpu.cli", "--platform", "cpu",
+             "-w", "16", "-h", "12", "--spp", "4", "--passes", "0",
+             "-o", str(out), "/root/reference/data/spheres.json"],
+            stdin=slave,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
+            cwd=REPO,
+            env=env,
+            text=True,
+        )
+        os.close(slave)
+        slave = -1
+        # keys typed BEFORE the loop enters cbreak mode sit in the pty's
+        # canonical line buffer and never arrive — wait for the first pass
+        # line (the poller is active by then), like a real user would
+        err_lines = []
+        deadline = time.time() + 200
+        while time.time() < deadline:
+            line = proc.stderr.readline()
+            if not line:
+                break
+            err_lines.append(line)
+            if line.startswith("pass "):
+                break
+        else:
+            proc.kill()
+            raise AssertionError("no pass line seen:\n" + "".join(err_lines)[-2000:])
+        os.write(master, b"s")  # save-key while running
+        os.write(master, b"\x1b")  # ESC: stop (--passes 0 = run forever)
+        try:
+            _, err_rest = proc.communicate(timeout=120)
+            err = "".join(err_lines) + err_rest
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            _, err_rest = proc.communicate()
+            err = "".join(err_lines) + err_rest
+            raise AssertionError("ESC did not stop the render loop:\n" + err[-2000:])
+    finally:
+        os.close(master)
+        if slave >= 0:
+            os.close(slave)
+    assert proc.returncode == 0, err[-2000:]
+    assert "ESC: stopping" in err, err[-2000:]
+    assert "(keypress)" in err, err[-2000:]
+    assert out.exists()
