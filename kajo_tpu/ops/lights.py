@@ -25,11 +25,21 @@ def solid_angle(center, radius, position):
     distance is sqrt(max(d², ε)) rather than linalg.norm, whose derivative
     is 0/0 when the shading point coincides with the light center (e.g. the
     zero-initialized prev_pos of idle wavefront lanes). Masked-out lanes
-    would otherwise poison every gradient they touch."""
+    would otherwise poison every gradient they touch.
+
+    Cancellation: 1 - sqrt(1 - x²) is computed as x²/(1 + sqrt(1 - x²)).
+    The naive form rounds to EXACTLY 0 in f32 for x < ~2e-4 (a far-grazing
+    hit thousands of units out still NEE-samples the light), making
+    pdf = 1/Ω infinite — the primal stays finite (the MIS weight divides by
+    it) but its jvp is 0·∞ = NaN, poisoning interior gradients in every
+    engine (found via a config-5-class inverse run, round 4). The stable
+    form is algebraically identical, strictly positive for x > 0, and more
+    accurate than the reference's own float math at grazing angles."""
     d2 = jnp.sum((center - position) ** 2, axis=-1)
     dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
     x = jnp.clip(radius / dist, 0.0, 1.0)
-    omega = 2.0 * PI * (1.0 - jnp.sqrt(jnp.maximum(1.0 - x * x, 1e-12)))
+    c = jnp.sqrt(jnp.maximum(1.0 - x * x, 1e-12))
+    omega = 2.0 * PI * (x * x) / (1.0 + c)
     return jnp.where(dist < radius, 4.0 * PI, omega)
 
 

@@ -302,12 +302,6 @@ def _build_kernel(
             "gl_semantics is implemented by the wavefront/parity engines, "
             "not the fused megakernel — render with engine='fast'"
         )
-    if jvp:
-        # the forward-mode kernel reads the whole scene eagerly so jax.jvp can
-        # thread tangents; the dynamic-SMEM fori paths are primal-only
-        assert S <= UNROLL_OBJECTS and P + S <= UNROLL_OBJECTS + 8, (
-            "jvp kernel requires fully unrolled object loops"
-        )
     K = P + S
     max_depth = config.max_depth
     eps = np.float32(config.surface_epsilon)
@@ -422,7 +416,7 @@ def _build_kernel(
                     def sphere_step_g(i, carry):
                         t_best, obj_best, n0, n1, n2 = carry
                         base = off_spheres + i * SPF
-                        rec = [scn_ref[0, base + j] for j in range(SPF)]
+                        rec = [s_(base + j) for j in range(SPF)]
                         t, valid, n_new = _sphere_hit_general(rec, o, d)
                         valid = valid & (t < t_best)
                         return (
@@ -464,13 +458,14 @@ def _build_kernel(
                 def sphere_step(i, carry):
                     # dynamic SMEM scalar reads keep the Mosaic graph size O(1)
                     # in the object count (unrolling >~16 objects explodes
-                    # compile time on this toolchain)
+                    # compile time on this toolchain); via s_ so the jvp
+                    # kernel's dual injection reaches dynamic reads too
                     t_best, obj_best, n0, n1, n2 = carry
                     base = off_spheres + i * _SP
-                    cx = scn_ref[0, base]
-                    cy = scn_ref[0, base + 1]
-                    cz = scn_ref[0, base + 2]
-                    r2 = scn_ref[0, base + 3]
+                    cx = s_(base)
+                    cy = s_(base + 1)
+                    cz = s_(base + 2)
+                    r2 = s_(base + 3)
                     d_dot_c = d[0] * cx + d[1] * cy + d[2] * cz
                     o_dot_c = o[0] * cx + o[1] * cy + o[2] * cz
                     b = 2.0 * (d_dot_o - d_dot_c)
@@ -520,13 +515,16 @@ def _build_kernel(
                 def mat_step(k, fields):
                     base = off_mats + k * _MA
                     m = (obj == k).astype(jnp.float32)
-                    return tuple(fields[f] + m * scn_ref[0, base + f] for f in range(_MA))
+                    return tuple(fields[f] + m * s_(base + f) for f in range(_MA))
 
                 return list(jax.lax.fori_loop(0, K, mat_step, tuple([zf] * _MA)))
 
             def solid_angle(dist, rad):
                 x = jnp.clip(rad / jnp.maximum(dist, 1e-30), 0.0, 1.0)
-                omega = 2.0 * PI * (1.0 - safe_sqrt(1.0 - x * x))
+                # x²/(1+sqrt(1-x²)) == 1-sqrt(1-x²) without the cancellation
+                # that rounds Ω to exactly 0 for far-grazing x (< ~2e-4),
+                # whose 1/Ω pdf then NaNs every jvp (see ops/lights.py)
+                omega = 2.0 * PI * (x * x) / (1.0 + safe_sqrt(1.0 - x * x))
                 return jnp.where(dist < rad, 4.0 * PI, omega)
 
             def light_pdf_from(pos, prev_obj, hit_obj):
@@ -804,11 +802,17 @@ def _build_kernel(
             return final[11], final[12], final[13]
 
         if jvp:
-            nf = off_cam + 12
-            vals = [scn_ref[0, i] for i in range(nf)]
-            tvals = [tan_ref[0, i] for i in range(nf)]
+            # dual-scalar injection: e has primal 0 / tangent 1, so every
+            # scene read v + e * v_tan carries (v, v_tan) through jax.jvp —
+            # INCLUDING dynamic-index SMEM reads inside fori object/material
+            # loops (a Python list of eager reads can't be indexed by a
+            # traced loop counter; this lifts the old unrolled-only
+            # restriction, so the forward-mode kernel scales to
+            # MAX_KERNEL_OBJECTS like the primal)
             (r0, r1, r2), (d0, d1, d2) = jax.jvp(
-                lambda v: run(lambda i: v[i]), (vals,), (tvals,)
+                lambda e: run(lambda i: scn_ref[0, i] + e * tan_ref[0, i]),
+                (jnp.float32(0.0),),
+                (jnp.float32(1.0),),
             )
             out_ref[0] = r0
             out_ref[1] = r1
@@ -905,7 +909,9 @@ def render_pass_megakernel_jvp(
     kernel-speed geometry-gradient path (sphere transforms/radii — reverse
     mode covers materials via megakernel_grad): a handful of directional
     derivatives beats the ~1M samples/s jax budget engine by an order of
-    magnitude. Requires a fully-unrolled scene (<= UNROLL_OBJECTS spheres).
+    magnitude. Any scene size up to MAX_KERNEL_OBJECTS: the dual-scalar
+    injection (see _build_kernel's jvp branch) threads tangents through the
+    dynamic-SMEM fori loops, so the old unrolled-only restriction is gone.
     """
     grid_n = max(int(spp**0.5), 1)
     eff = grid_n * grid_n

@@ -36,7 +36,11 @@ Semantics scope (== the jax budget engine's interior gradient, validated in
 tests/test_megakernel_geom.py):
   * sphere-as-OBJECT geometry: hit distance + normal derivatives, with the
     discrete branch probabilities and visibility detached — matches
-    jax.grad of models/wavefront.render_pass_budget for rigid scenes;
+    jax.grad of models/wavefront.render_pass_budget. Rigid scenes inject
+    the delta into the 4-float world-space record; general (scaled/sheared)
+    transforms into the 23-float object-space record, where the center
+    tangent rides invt (d invt/d c = -inv3, exact — inv3/fwd3/det are
+    center-independent) and the radius tangent rides r^2;
   * sphere-as-LIGHT geometry IS differentiated (VERDICT round-2 item 7):
     the NEE sample position and 1/Ω pdf (plus the deferred-MIS light pdf)
     are closed-form in the emitter's center/radius, so the same one-hot
@@ -46,9 +50,13 @@ tests/test_megakernel_geom.py):
     walk (NEE contribution fired, or the light was hit directly) — a path
     that never hits the light still differentiates its shadow-ray terms.
     NEE *visibility* stays detached (boundary term: diff/edges.py).
-  * paths touching more than TRACK_SLOTS distinct spheres drop the extras'
-    contributions (depth > 4 paths through 5+ distinct spheres are a
-    vanishing fraction of transport in kajo scenes).
+  * paths touching more than TRACK_SLOTS (8) distinct non-light spheres
+    drop the extras' contributions. Quantified (round 4): an adversarial
+    glossy mirror-cavity where 87% of pixels visit >4 distinct spheres
+    showed up to ~13x relative gradient deviation at 4 slots and exact
+    agreement with the uncapped forward-jvp kernel at 8 — hence 8. Slots
+    only cost replays when FILLED, so ordinary scenes pay nothing for the
+    headroom (tests/test_megakernel_geom.py::test_track_slots_truncation_quantified).
 """
 
 from __future__ import annotations
@@ -76,7 +84,9 @@ from .megakernel import (
     _MA,
     _PL,
     _SP,
+    _SPG,
     _pack_scene,
+    _sphere_hit_general,
     _uniforms4,
     reflect,
     safe_pow,
@@ -92,33 +102,42 @@ from .megakernel import (
     vwhere,
 )
 
-TRACK_SLOTS = 4  # distinct spheres tracked per path (== replay fan-out cap)
+# Distinct spheres tracked per path (== replay fan-out cap). Replays are
+# scheduled only for FILLED slots, so typical scenes (few distinct spheres
+# per path) pay nothing for the headroom; deep multi-sphere chains would
+# otherwise DROP the extras' gradient mass — measured up to ~13x relative
+# deviation on an adversarial 6-sphere glossy cavity at 4 slots, exact at 8
+# (tests/test_megakernel_geom.py::test_track_slots_truncation_quantified).
+TRACK_SLOTS = 8
 
 
 def supports(scene: Scene) -> bool:
     from .megakernel import supports as fwd_supports
 
-    # rigid-only: the replay differentiates w.r.t. world-space center/radius
-    # (the 4-float rigid record); general transforms use the jax budget
-    # engine or the forward-mode megakernel (which handles them)
-    return bool(
-        fwd_supports(scene)
-        and getattr(scene, "rigid_spheres", False)
-        and scene.num_spheres > 0
-    )
+    # rigid scenes replay against the 4-float world-space record; general
+    # (scaled/sheared) transforms against the 23-float object-space record —
+    # the center tangent rides invt (d invt/d c = -inv3, exact), the radius
+    # tangent rides r^2, and fwd3/det are c- and r-independent
+    return bool(fwd_supports(scene) and scene.num_spheres > 0)
 
 
-def _build_geom_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L):
+def _build_geom_kernel(
+    width, height, grid_n, eff, config: RenderConfig, P, S, L, rigid=True
+):
     K = P + S
     max_depth = config.max_depth
     eps = np.float32(config.surface_epsilon)
     emit_after_scatter = bool((not config.direct_lighting) or config.full_mis)
     nee_on = bool(config.direct_lighting and L > 0)
-    ncalls = -(-(5 + 3 * L) // 4)
+    # one-of-L light sampling: same stream/budget as the forward kernel
+    # (us[5] selects, us[6:9] sample; L > 1 keeps the uniform count equal)
+    one_light = bool(config.one_light_nee and L > 1)
+    ncalls = -(-max(5 + 3 * L, 9 if one_light else 0) // 4)
     CAM_SALT = np.uint32(0x7FFFFFFF)
+    SPF = _SP if rigid else _SPG  # per-sphere record size (see megakernel.py)
     off_planes = 0
     off_spheres = off_planes + P * _PL
-    off_mats = off_spheres + S * _SP
+    off_mats = off_spheres + S * SPF
     off_lights = off_mats + K * _MA
     off_bg = off_lights + L * _LI
     off_cam = off_bg + 3
@@ -205,7 +224,10 @@ def _build_geom_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
 
         def solid_angle(dist, rad):
             x = jnp.clip(rad / jnp.maximum(dist, 1e-30), 0.0, 1.0)
-            omega = 2.0 * PI * (1.0 - safe_sqrt(1.0 - x * x))
+            # x²/(1+sqrt(1-x²)) == 1-sqrt(1-x²) without the cancellation
+            # that rounds Ω to exactly 0 for far-grazing x (< ~2e-4),
+            # whose 1/Ω pdf then NaNs every jvp (see ops/lights.py)
+            omega = 2.0 * PI * (x * x) / (1.0 + safe_sqrt(1.0 - x * x))
             return jnp.where(dist < rad, 4.0 * PI, omega)
 
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -226,7 +248,8 @@ def _build_geom_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
                 neg1,                    # slot: -1 = discovery walk
                 zi,                      # dirp
                 zi,                      # depth
-                neg1, neg1, neg1, neg1,  # slots 0..3 (touched sphere ids)
+                # slots 0..TRACK_SLOTS-1 (touched sphere ids)
+                *([neg1] * TRACK_SLOTS),
                 neg1,                    # jsel (selected sphere this walk)
                 zi + 1, zi,              # emit, mis_pending
                 zi,                      # pend_delta
@@ -251,13 +274,15 @@ def _build_geom_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
             return jnp.any(st[0] < eff)
 
         def body(st):
-            (sample, slot, dirp, depth, s0, s1, s2, s3, jsel,
+            (sample, slot, dirp, depth) = st[0:4]
+            svals = list(st[4 : 4 + TRACK_SLOTS])
+            (jsel,
              emit_f, misp_f, pdelta_f, prev_obj, lflags,
              ox, oy, oz, dx, dy, dz, tr, tg, tb, qx, qy, qz,
              pfr, pfg, pfb, ppdf,
              dox, doy, doz, ddx, ddy, ddz, dtr, dtg, dtb,
              dqx, dqy, dqz, dpfr, dpfg, dpfb, dppdf,
-             dL) = st
+             dL) = st[4 + TRACK_SLOTS :]
 
             active = sample < eff
             su = sample.astype(jnp.uint32)
@@ -291,6 +316,59 @@ def _build_geom_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
                         t_best = jnp.where(valid, t, t_best)
                         obj_best = jnp.where(valid, i, obj_best)
                         n_best = vwhere(valid, vfull((r[5], r[6], r[7]), zf), n_best)
+                    if not rigid:
+                        # general record: the center perturbation enters the
+                        # OBJECT-SPACE formulation through invt (invt =
+                        # -inv3 @ c, so d invt/d c_p = -inv3 column p — the
+                        # inv3 entries are primal SMEM constants, making the
+                        # product's tangent exact), the radius^2 perturbation
+                        # through rec[12]; det and fwd3 are c/r-independent
+                        def sphere_hit_g(i, rec, carry):
+                            t_best, obj_best, n0, n1, n2 = carry
+                            if perturb:
+                                selm = (jsel == i).astype(jnp.float32)
+                                rec = list(rec)
+                                rec[9] = rec[9] - selm * (
+                                    rec[0] * delta[0] + rec[1] * delta[1] + rec[2] * delta[2]
+                                )
+                                rec[10] = rec[10] - selm * (
+                                    rec[3] * delta[0] + rec[4] * delta[1] + rec[5] * delta[2]
+                                )
+                                rec[11] = rec[11] - selm * (
+                                    rec[6] * delta[0] + rec[7] * delta[1] + rec[8] * delta[2]
+                                )
+                                rec[12] = rec[12] + selm * delta[3]
+                            t, valid, n_new = _sphere_hit_general(rec, o, d)
+                            valid = valid & (t < t_best)
+                            return (
+                                jnp.where(valid, t, t_best),
+                                jnp.where(valid, P + i, obj_best),
+                                jnp.where(valid, n_new[0], n0),
+                                jnp.where(valid, n_new[1], n1),
+                                jnp.where(valid, n_new[2], n2),
+                            )
+
+                        if S <= UNROLL_OBJECTS:
+                            carry = (t_best, obj_best, *n_best)
+                            for i in range(S):
+                                b_ = off_spheres + i * SPF
+                                carry = sphere_hit_g(
+                                    i, [s_(b_ + j) for j in range(SPF)], carry
+                                )
+                            t_best, obj_best, n0, n1, n2 = carry
+                        else:
+
+                            def sphere_step_g(i, carry):
+                                b_ = off_spheres + i * SPF
+                                return sphere_hit_g(
+                                    i, [scn_ref[0, b_ + j] for j in range(SPF)], carry
+                                )
+
+                            t_best, obj_best, n0, n1, n2 = jax.lax.fori_loop(
+                                0, S, sphere_step_g, (t_best, obj_best, *n_best)
+                            )
+                        return t_best, obj_best, (n0, n1, n2)
+
                     d_dot_o = vdot(d, o)
                     o2 = vdot(o, o)
 
@@ -446,12 +524,41 @@ def _build_geom_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
 
                 nee_ok = []
                 if nee_on:
+                    if one_light:
+                        # one-hot gathered light record (forward kernel's
+                        # one-light path); the replayed sphere's delta rides
+                        # the GATHERED record — selm compares against the
+                        # per-lane selected object id, so the injection is
+                        # live exactly when the selected light is replayed
+                        li_v = jnp.minimum(
+                            (us[5] * np.float32(L)).astype(jnp.int32), L - 1
+                        )
+                        rsel = [zf] * _LI
+                        for li_ in range(L):
+                            r_ = light_rec(li_)
+                            m_ = (li_v == li_).astype(jnp.float32)
+                            rsel = [rsel[f] + m_ * r_[f] for f in range(_LI)]
+                        selm_s = ((jsel + P) == rsel[7].astype(jnp.int32)).astype(
+                            jnp.float32
+                        )
+                        c_sel = (
+                            rsel[0] + selm_s * delta[0],
+                            rsel[1] + selm_s * delta[1],
+                            rsel[2] + selm_s * delta[2],
+                        )
+                        rad2_sel = rsel[3] * rsel[3] + selm_s * delta[3]
+                        light_iter = [
+                            (rsel, c_sel, rad2_sel, safe_sqrt(rad2_sel),
+                             us[6], us[7], us[8], np.float32(L))
+                        ]
+                    else:
+                        light_iter = [
+                            (*light_geo(li_), us[5 + 3 * li_], us[6 + 3 * li_],
+                             us[7 + 3 * li_], np.float32(1.0))
+                            for li_ in range(L)
+                        ]
                     nee = (zf, zf, zf)
-                    for li in range(L):
-                        r, c_l, rad2_l, rad = light_geo(li)
-                        u1 = us[5 + 3 * li]
-                        u2 = us[6 + 3 * li]
-                        u3 = us[7 + 3 * li]
+                    for r, c_l, rad2_l, rad, u1, u2, u3, lscale in light_iter:
                         sx_ = rad * jnp.sqrt(u1) * jnp.cos(2.0 * PI * u2)
                         sy_ = rad * jnp.sqrt(u1) * jnp.sin(2.0 * PI * u2)
                         sz_ = safe_sqrt(rad2_l - sx_ * sx_ - sy_ * sy_) * jnp.sin(
@@ -488,11 +595,19 @@ def _build_geom_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
                             ),
                         )
                         ok = visible & not_self & (pdf_b_l != 0) & (pdf_l > 0)
-                        wl = jnp.where(ok, 1.0 / (pdf_b_l + pdf_l), 0.0)
+                        wl = jnp.where(ok, lscale / (pdf_b_l + pdf_l), 0.0)
                         nee = vadd(nee, vscale(vmul(fcos_l, vfull((r[4], r[5], r[6]), zf)), wl))
-                        # float-encoded flag for the discovery walk: this
+                        # float-encoded flag(s) for the discovery walk: this
                         # light's shadow term contributed at this vertex
-                        nee_ok.append(jnp.where(scatter & ok, 1.0, 0.0))
+                        if one_light:
+                            # one iteration, L flags: the term belongs to the
+                            # per-lane SELECTED light
+                            for lj in range(L):
+                                nee_ok.append(
+                                    jnp.where(scatter & ok & (li_v == lj), 1.0, 0.0)
+                                )
+                        else:
+                            nee_ok.append(jnp.where(scatter & ok, 1.0, 0.0))
                     contrib = vwhere(scatter, vadd(contrib, vmul(t3, nee)), contrib)
 
                 u1, u2 = us[3], us[4]
@@ -606,17 +721,16 @@ def _build_geom_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
             )
             disc = active & (slot < 0) & (obj >= P)
             sid = obj - P
-            newly = disc & (sid != s0) & (sid != s1) & (sid != s2) & (sid != s3)
+            newly = disc
+            for sv in svals:
+                newly = newly & (sid != sv)
             for lid in lids:
                 newly = newly & (obj != lid)
-            pl0 = newly & (s0 < 0)
-            s0 = jnp.where(pl0, sid, s0)
-            pl1 = newly & ~pl0 & (s1 < 0)
-            s1 = jnp.where(pl1, sid, s1)
-            pl2 = newly & ~pl0 & ~pl1 & (s2 < 0)
-            s2 = jnp.where(pl2, sid, s2)
-            pl3 = newly & ~pl0 & ~pl1 & ~pl2 & (s3 < 0)
-            s3 = jnp.where(pl3, sid, s3)
+            placed = jnp.zeros_like(newly)
+            for k in range(TRACK_SLOTS):
+                pl_k = newly & ~placed & (svals[k] < 0)
+                svals[k] = jnp.where(pl_k, sid, svals[k])
+                placed = placed | pl_k
 
             # per-light replay flags: this light's NEE term contributed at
             # this vertex, or the light sphere was hit directly (its hit
@@ -657,7 +771,6 @@ def _build_geom_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
             # scans (compile-time unrolled) for the lowest valid slot >=
             # from_, returning (slot, sphere id); NSLOT means none left.
             NSLOT = TRACK_SLOTS + (L if nee_on else 0)
-            svals = (s0, s1, s2, s3)
 
             def first_valid(from_):
                 best = jnp.full_like(slot, NSLOT)
@@ -698,10 +811,7 @@ def _build_geom_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
                 jnp.where(rep_end, jnp.where(adv, j_next, jsel), jsel),
             )
             reset_slots = next_sample
-            s0 = jnp.where(reset_slots, -1, s0)
-            s1 = jnp.where(reset_slots, -1, s1)
-            s2 = jnp.where(reset_slots, -1, s2)
-            s3 = jnp.where(reset_slots, -1, s3)
+            svals = [jnp.where(reset_slots, -1, sv) for sv in svals]
             lflags = jnp.where(reset_slots, 0, lflags)
 
             # ---- state updates ----------------------------------------------
@@ -744,7 +854,7 @@ def _build_geom_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
             return (
                 new_sample, new_slot, new_dirp,
                 jnp.where(restart, 0, depth + 1),
-                s0, s1, s2, s3, new_jsel,
+                *svals, new_jsel,
                 jnp.where(restart, 1, jnp.where(scatter, jnp.int32(emit_after_scatter), emit_f)),
                 jnp.where(sc, 1, 0).astype(jnp.int32),
                 jnp.where(m_mir & ~path_end, 1, 0).astype(jnp.int32),
@@ -788,11 +898,6 @@ def geometry_grads(
     radius=[S] radius gradients). Interior terms only (visibility detached);
     light spheres include their NEE-sampler role (sample position, solid-
     angle pdfs) — see the module docstring."""
-    if config.one_light_nee:
-        raise ValueError(
-            "one_light_nee is not implemented in the geometry gradient "
-            "kernel; use the jax budget engine for gradients under one-light NEE"
-        )
     prep = prepare_scene(scene)
     grid_n = max(int(spp**0.5), 1)
     eff = grid_n * grid_n
@@ -804,7 +909,9 @@ def geometry_grads(
     n_tiles = rows_pad // TILE_ROWS
 
     P, S, L = scene.num_planes, scene.num_spheres, scene.num_lights
-    kernel = _build_geom_kernel(width, height, grid_n, eff, config, P, S, L)
+    kernel = _build_geom_kernel(
+        width, height, grid_n, eff, config, P, S, L, rigid=prep.rigid
+    )
 
     packed = _pack_scene(prep)
     seed = jnp.asarray(seed_from_key(key), jnp.uint32).reshape(1, 1)

@@ -53,7 +53,9 @@ from .megakernel import (  # noqa: F401 (UNROLL re-exported for the gate below)
     _MA,
     _PL,
     _SP,
+    _SPG,
     _pack_scene,
+    _sphere_hit_general,
     _uniforms4,
     reflect,
     safe_pow,
@@ -82,17 +84,16 @@ MAX_GRAD_OBJECTS = MAX_KERNEL_OBJECTS
 def supports(scene: Scene) -> bool:
     from .megakernel import supports as fwd_supports
 
-    # rigid-only: this kernel replays the trace with the 4-float world-space
-    # sphere record; non-rigid scenes (23-float object-space record in the
-    # forward kernel) fall back to the jax budget engine for now
-    return bool(
-        fwd_supports(scene)
-        and getattr(scene, "rigid_spheres", False)
-        and scene.num_objects <= MAX_GRAD_OBJECTS
-    )
+    # rigid scenes replay the trace with the 4-float world-space record;
+    # general (scaled/sheared) transforms with the forward kernel's 23-float
+    # object-space record (det-scaled t, fwd3-rotated normals) — the PRB
+    # material gradient is geometry-agnostic, so both are exact
+    return bool(fwd_supports(scene) and scene.num_objects <= MAX_GRAD_OBJECTS)
 
 
-def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L):
+def _build_grad_kernel(
+    width, height, grid_n, eff, config: RenderConfig, P, S, L, rigid=True
+):
     K = P + S
     Krows = K + 1  # last row: background
     big = K > GRAD_UNROLL_OBJECTS  # VMEM-table accumulation + fori loops
@@ -100,11 +101,16 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
     eps = np.float32(config.surface_epsilon)
     emit_after_scatter = bool((not config.direct_lighting) or config.full_mis)
     nee_on = bool(config.direct_lighting and L > 0)
-    ncalls = -(-(5 + 3 * L) // 4)
+    # one-of-L light sampling (same stream/budget as the forward kernel,
+    # megakernel.py: us[5] selects, us[6:9] sample; for L > 1 the uniform
+    # count is unchanged, so the walks stay bit-identical to the primal)
+    one_light = bool(config.one_light_nee and L > 1)
+    ncalls = -(-max(5 + 3 * L, 9 if one_light else 0) // 4)
     CAM_SALT = np.uint32(0x7FFFFFFF)
+    SPF = _SP if rigid else _SPG  # per-sphere record size (see megakernel.py)
     off_planes = 0
     off_spheres = off_planes + P * _PL
-    off_mats = off_spheres + S * _SP
+    off_mats = off_spheres + S * SPF
     off_lights = off_mats + K * _MA
     off_bg = off_lights + L * _LI
     off_cam = off_bg + 3
@@ -142,8 +148,8 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
             return [s_(b + j) for j in range(_PL)]
 
         def sphere_rec(i):
-            b = off_spheres + i * _SP
-            return [s_(b + j) for j in range(_SP)]
+            b = off_spheres + i * SPF
+            return [s_(b + j) for j in range(SPF)]
 
         def mat_rec(i):
             b = off_mats + i * _MA
@@ -182,6 +188,38 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
                 t_best = jnp.where(valid, t, t_best)
                 obj_best = jnp.where(valid, i, obj_best)
                 n_best = vwhere(valid, vfull((r[5], r[6], r[7]), zf), n_best)
+            if not rigid:
+                # general transforms: object-space quadratic, det-scaled t,
+                # fwd3 normal — identical structure to the forward kernel
+                # (megakernel.py trace); material gradients only need the
+                # primal geometry, so this is a drop-in replay
+                if S <= UNROLL_OBJECTS:
+                    for i in range(S):
+                        t, valid, n_new = _sphere_hit_general(sphere_rec(i), o, d)
+                        valid = valid & (t < t_best)
+                        t_best = jnp.where(valid, t, t_best)
+                        obj_best = jnp.where(valid, P + i, obj_best)
+                        n_best = vwhere(valid, n_new, n_best)
+                    return t_best, obj_best, n_best
+
+                def sphere_step_g(i, carry):
+                    t_best, obj_best, n0, n1, n2 = carry
+                    base = off_spheres + i * SPF
+                    rec = [scn_ref[0, base + j] for j in range(SPF)]
+                    t, valid, n_new = _sphere_hit_general(rec, o, d)
+                    valid = valid & (t < t_best)
+                    return (
+                        jnp.where(valid, t, t_best),
+                        jnp.where(valid, P + i, obj_best),
+                        jnp.where(valid, n_new[0], n0),
+                        jnp.where(valid, n_new[1], n1),
+                        jnp.where(valid, n_new[2], n2),
+                    )
+
+                t_best, obj_best, n0, n1, n2 = jax.lax.fori_loop(
+                    0, S, sphere_step_g, (t_best, obj_best, n_best[0], n_best[1], n_best[2])
+                )
+                return t_best, obj_best, (n0, n1, n2)
             d_dot_o = vdot(d, o)
             o2 = vdot(o, o)
             if S <= UNROLL_OBJECTS:
@@ -269,7 +307,10 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
 
         def solid_angle(dist, rad):
             x = jnp.clip(rad / jnp.maximum(dist, 1e-30), 0.0, 1.0)
-            omega = 2.0 * PI * (1.0 - safe_sqrt(1.0 - x * x))
+            # x²/(1+sqrt(1-x²)) == 1-sqrt(1-x²) without the cancellation
+            # that rounds Ω to exactly 0 for far-grazing x (< ~2e-4),
+            # whose 1/Ω pdf then NaNs every jvp (see ops/lights.py)
+            omega = 2.0 * PI * (x * x) / (1.0 + safe_sqrt(1.0 - x * x))
             return jnp.where(dist < rad, 4.0 * PI, omega)
 
         def light_pdf_from(pos, prev_obj, hit_obj):
@@ -492,12 +533,35 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
 
             # ---- NEE --------------------------------------------------------
             if nee_on:
+                if one_light:
+                    # one uniformly selected light per lane (x L), the
+                    # forward kernel's one-hot record gather — the selected
+                    # object id is PER-LANE, so the emission gradient goes
+                    # through the keyed paths instead of a uniform table row
+                    li_v = jnp.minimum(
+                        (us[5] * np.float32(L)).astype(jnp.int32), L - 1
+                    )
+                    rec_sel = [zf] * _LI
+                    for li in range(L):
+                        r_ = light_rec(li)
+                        m_ = (li_v == li).astype(jnp.float32)
+                        rec_sel = [rec_sel[f] + m_ * r_[f] for f in range(_LI)]
+                    light_iter = [(rec_sel, us[6], us[7], us[8], np.float32(L))]
+                    if big:
+                        c_le = [zf] * 3  # keyed by the selected light's object
+                else:
+                    light_iter = [
+                        (
+                            light_rec(li),
+                            us[5 + 3 * li],
+                            us[6 + 3 * li],
+                            us[7 + 3 * li],
+                            np.float32(1.0),
+                        )
+                        for li in range(L)
+                    ]
                 nee = (zf, zf, zf)
-                for li in range(L):
-                    r = light_rec(li)
-                    u1 = us[5 + 3 * li]
-                    u2 = us[6 + 3 * li]
-                    u3 = us[7 + 3 * li]
+                for r, u1, u2, u3, lscale in light_iter:
                     rad = r[3]
                     sx_ = rad * jnp.sqrt(u1) * jnp.cos(2.0 * PI * u2)
                     sy_ = rad * jnp.sqrt(u1) * jnp.sin(2.0 * PI * u2)
@@ -520,7 +584,7 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
                     s_ph = lobe_l * jnp.maximum(cosl, 0.0)
                     pdf_b_l = jnp.where(m_lam, cosl / PI, jnp.where(m_ph, lobe_l, 0.0))
                     ok = visible & not_self & (pdf_b_l != 0) & (pdf_l > 0)
-                    wl = jnp.where(ok, 1.0 / (pdf_b_l + pdf_l), 0.0)
+                    wl = jnp.where(ok, lscale / (pdf_b_l + pdf_l), 0.0)
                     le = vfull((r[4], r[5], r[6]), zf)
                     s_sel = jnp.where(m_lam, s_lam, jnp.where(m_ph, s_ph, 0.0))
                     mat_sel = vwhere(m_lam, md, vwhere(m_ph, ms, (zf, zf, zf)))
@@ -531,10 +595,22 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
                     gm = scatter & grading
                     base = tuple(gc * tc * wl for gc, tc in zip(g3, t3))
                     # ∂/∂Le (emission of the light's material)
-                    row = obj_id  # per-light object id (dynamic but uniform row)
+                    row = obj_id  # object id: uniform scalar per light, or
+                    #               per-lane under one-light selection
                     vals_le = tuple(b * f for b, f in zip(base, fcos_l))
                     vals_mat = tuple(b * s_sel * l_ for b, l_ in zip(base, le))
-                    if big:
+                    if big and one_light:
+                        # per-lane row: route through the keyed c_le planes
+                        # (flushed with flush_keyed below, like c_obj/c_pm)
+                        lsel_key = row
+                        for c in range(3):
+                            c_le[c] = c_le[c] + jnp.where(gm, vals_le[c], 0.0)
+                        for c in range(3):
+                            c_obj[c] = c_obj[c] + jnp.where(gm & m_lam, vals_mat[c], 0.0)
+                            c_obj[3 + c] = c_obj[3 + c] + jnp.where(
+                                gm & m_ph, vals_mat[c], 0.0
+                            )
+                    elif big:
                         @pl.when(jnp.any(gm))
                         def _(vals_le=vals_le, gm=gm, row=row):
                             acc_row_add(
@@ -649,6 +725,8 @@ def _build_grad_kernel(width, height, grid_n, eff, config: RenderConfig, P, S, L
                 # flush this iteration's keyed contributions into the table
                 flush_keyed(obj, c_obj, (0, 1, 2, 3, 4, 5, 6, 7, 8))
                 flush_keyed(pmobj, c_pm, (0, 1, 2, 3, 4, 5))
+                if nee_on and one_light:
+                    flush_keyed(lsel_key, c_le, (6, 7, 8))
 
             continuing = survive & (m_trans | (pdf_b != 0))
             path_end = active & ~continuing
@@ -735,11 +813,6 @@ def material_grads(
     ``cotangent``: [H, W, 3or4] upstream gradient (e.g. from an L2 loss).
     Returns dict(diffuse=[K,3], specular=[K,3], emission=[K,3], background=[3]).
     """
-    if config.one_light_nee:
-        raise ValueError(
-            "one_light_nee is not implemented in the PRB gradient kernel; "
-            "use the jax budget engine for gradients under one-light NEE"
-        )
     prep = prepare_scene(scene)
     grid_n = max(int(spp**0.5), 1)
     eff = grid_n * grid_n
@@ -752,7 +825,9 @@ def material_grads(
 
     P, S, L = scene.num_planes, scene.num_spheres, scene.num_lights
     K = P + S
-    kernel = _build_grad_kernel(width, height, grid_n, eff, config, P, S, L)
+    kernel = _build_grad_kernel(
+        width, height, grid_n, eff, config, P, S, L, rigid=prep.rigid
+    )
 
     packed = _pack_scene(prep)
     seed = jnp.asarray(seed_from_key(key), jnp.uint32).reshape(1, 1)

@@ -10,7 +10,11 @@ Re-implements the reference scene DSL (spec /root/reference/scene/Parser.cpp):
     ``16**2.2`` linear — an intentional parity quirk, Parser.cpp:70-92);
   * transform mini-DSL composing ``lookat(9 floats)``, ``translate(3)``,
     ``scale(3)``, ``rotate(angle_deg, axis)`` left-to-right by
-    right-multiplication (Parser.cpp:101-148);
+    right-multiplication (Parser.cpp:101-148). Missing vector components
+    are ZERO, not broadcast — the reference's parseVec3 (Parser.cpp:49-62)
+    leaves failed stream extractions at 0, so ``scale(.5)`` means
+    ``scale(.5, 0, 0)`` (a degenerate, unhittable sphere) there too; write
+    all three components in scene files;
   * camera ``perspective(fovy_deg, near, far)`` — only the first three numbers
     are read even if more are present, aspect comes from the caller
     (Parser.cpp:150-166);

@@ -155,3 +155,40 @@ def test_inverse_rendering_recovers_position():
     inv.run(150, jax.random.PRNGKey(9))
     offset = float(np.asarray(inv.params["sphere_transform"])[0, 0, 3])
     assert abs(offset) < 0.1, offset  # started at 0.3, true value 0.0
+
+
+def test_interior_jvp_finite_on_far_grazing_scene():
+    """Regression for the round-4 solid-angle underflow NaN: this exact
+    moved-sphere configuration of data/scaled.json sends one camera ray
+    grazing the ground plane ~3.7k units out; NEE from that hit makes the
+    light's Ω round to 0 and 1/Ω's jvp NaN under the old form — through
+    EVERY engine. The jvp (even with all-zero tangents) must be finite."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kajo_tpu.models.integrator import RenderConfig
+    from kajo_tpu.models.wavefront import render_pass_budget
+    from kajo_tpu.scene import parser
+
+    s = jax.tree.map(jnp.asarray, parser.load("data/scaled.json", 16 / 12))
+    jit = jnp.asarray(
+        [[-0.05120649188756943, 0.1406901478767395, 0.1266857236623764],
+         [0.25923579931259155, -0.23104041814804077, 0.13740907609462738],
+         [0.25645434856414795, 0.2807557284832001, -0.2911762297153473],
+         [0.21818405389785767, 0.28871703147888184, 0.2743261158466339]],
+        jnp.float32,
+    )
+    st0 = s.sphere_transform.at[:, :3, 3].add(jit)
+    key = jax.random.PRNGKey(7)
+
+    def f(st):
+        return render_pass_budget(
+            dc.replace(s, sphere_transform=st), key, 16, 12, 8, RenderConfig(max_depth=3)
+        )
+
+    for tan in (jnp.zeros_like(st0), jnp.zeros_like(st0).at[3, 0, 3].set(1.0)):
+        _, dot = jax.jvp(f, (st0,), (tan,))
+        assert np.isfinite(np.asarray(dot)).all()

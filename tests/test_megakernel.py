@@ -24,13 +24,13 @@ def test_supports():
     assert megakernel.supports(scene)
     import dataclasses
 
-    # non-rigid scenes are supported too (general object-space record); the
-    # reverse-mode grad kernels remain rigid-only
+    # non-rigid scenes are supported everywhere since round 4: the forward
+    # kernel AND both reverse-mode grad kernels take the general record
     assert megakernel.supports(dataclasses.replace(scene, rigid_spheres=False))
     from kajo_tpu.ops.pallas import megakernel_geom, megakernel_grad
 
-    assert not megakernel_grad.supports(dataclasses.replace(scene, rigid_spheres=False))
-    assert not megakernel_geom.supports(dataclasses.replace(scene, rigid_spheres=False))
+    assert megakernel_grad.supports(dataclasses.replace(scene, rigid_spheres=False))
+    assert megakernel_geom.supports(dataclasses.replace(scene, rigid_spheres=False))
 
 
 def test_matches_wavefront_spheres():
@@ -68,9 +68,10 @@ def test_caustics_finite():
 
 def test_nonrigid_scaled_scene_matches_wavefront():
     """Scaled transforms (data/scaled.json) run the 23-float general record:
-    same RNG stream as the wavefront -> per-pixel agreement (the scene has
-    sphere-dominated paths, so even the plane tangent-frame difference is
-    invisible at this tolerance)."""
+    same RNG stream as the wavefront -> per-pixel agreement up to the plane
+    tangent-frame difference (azimuthal rotation of cosine sampling on the
+    ground plane — distribution-equal by design, a handful of bounce pixels
+    differ; see the megakernel module docstring)."""
     scene = parser.load("/root/repo/data/scaled.json", 32 / 24)
     assert not scene.rigid_spheres
     assert megakernel.supports(scene)
@@ -78,7 +79,7 @@ def test_nonrigid_scaled_scene_matches_wavefront():
     b = np.asarray(render_pass_fast(scene, jax.random.PRNGKey(1), 32, 24, 16))
     assert np.isfinite(a).all()
     tm = lambda x: np.clip(x[..., :3], 0, 1) ** (1 / 2.2)
-    assert np.abs(tm(a) - tm(b)).mean() < 1e-4
+    assert np.abs(tm(a) - tm(b)).mean() < 5e-4
 
 
 def test_nonrigid_fori_path_matches_wavefront():
@@ -164,19 +165,25 @@ def test_one_light_nee_matches_wavefront():
     assert np.abs(a - c).max() > 1e-6
 
 
-def test_one_light_nee_grad_kernels_raise():
+def test_one_light_nee_grad_kernels_run():
+    """Round 4 lifted the one_light_nee gate in both gradient kernels (they
+    used to raise): smoke-check finite outputs here; exactness is pinned by
+    the dedicated FD / forward-jvp comparisons in test_megakernel_grad.py /
+    test_megakernel_geom.py."""
     import jax.numpy as jnp
-    import pytest
+    from jax.experimental.pallas import tpu as pltpu
 
     from kajo_tpu.ops.pallas import megakernel_geom, megakernel_grad
 
     scene = parser.load(f"{REFERENCE_DATA}/spheres.json", 1.0)
     cfg = RenderConfig(one_light_nee=True)
     cot = jnp.ones((8, 8, 3), jnp.float32)
-    with pytest.raises(ValueError, match="one_light_nee"):
-        megakernel_grad.material_grads(scene, jax.random.PRNGKey(0), cot, 8, 8, 4, cfg)
-    with pytest.raises(ValueError, match="one_light_nee"):
-        megakernel_geom.geometry_grads(scene, jax.random.PRNGKey(0), cot, 8, 8, 4, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        g1 = megakernel_grad.material_grads(scene, jax.random.PRNGKey(0), cot, 8, 8, 4, cfg)
+        g2 = megakernel_geom.geometry_grads(scene, jax.random.PRNGKey(0), cot, 8, 8, 4, cfg)
+    for g in (g1, g2):
+        for v in g.values():
+            assert np.isfinite(np.asarray(v)).all()
 
 
 def test_full_mis_mode():

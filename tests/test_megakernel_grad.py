@@ -329,3 +329,206 @@ def _mega_like_target(scene):
     )
     with pltpu.force_tpu_interpret_mode():
         return render_pass_megakernel(shifted, jax.random.PRNGKey(99), W, H, SPP, CFG)
+
+
+# ---- non-rigid (scaled/rotated transforms): 23-float object-space record --
+@pytest.fixture(scope="module")
+def scaled_scene():
+    s = parser.load("data/scaled.json", W / H)
+    return jax.tree.map(jnp.asarray, s)
+
+
+def test_nonrigid_supported(scaled_scene):
+    from kajo_tpu.ops.pallas import megakernel_grad
+
+    assert not getattr(scaled_scene, "rigid_spheres", True)
+    assert megakernel_grad.supports(scaled_scene)
+
+
+def test_nonrigid_emission_grad_exact(scaled_scene):
+    """Same-seed FD on emission is exactly linear -> the PRB kernel on the
+    general object-space record must reproduce it (round-4 port: the trace
+    replay now supports det-scaled t / fwd3 normals, megakernel.py:257-294)."""
+    li = int(np.asarray(scaled_scene.light_indices).ravel()[0])
+    row = scaled_scene.num_planes + li
+    g = np.ones((H, W, 3), np.float32) / (H * W * 3)
+    with pltpu.force_tpu_interpret_mode():
+        gr = {
+            k: np.asarray(v)
+            for k, v in material_grads(scaled_scene, KEY, g, W, H, SPP, CFG).items()
+        }
+
+    def mean_of(s):
+        with pltpu.force_tpu_interpret_mode():
+            return float(jnp.mean(render_pass_megakernel(s, KEY, W, H, SPP, CFG)[..., :3]))
+
+    h = 10.0
+    fd = (
+        mean_of(_with_mat(scaled_scene, "emission", row, 1, h))
+        - mean_of(_with_mat(scaled_scene, "emission", row, 1, -h))
+    ) / (2 * h)
+    np.testing.assert_allclose(gr["emission"][row, 1], fd, rtol=2e-3, atol=1e-9)
+
+
+def test_nonrigid_diffuse_grad_matches_budget_engine(scaled_scene):
+    """PRB diffuse gradients on the scaled scene vs jax.grad of the budget
+    engine (the correctness spec for the non-rigid estimator): same estimator
+    convention (detached coins), independent seeds -> statistical agreement."""
+    from kajo_tpu.models.wavefront import render_pass_budget
+
+    n_seeds = 6
+    gs = []
+    g = np.ones((H, W, 3), np.float32) / (H * W * 3)
+    with pltpu.force_tpu_interpret_mode():
+        for i in range(n_seeds):
+            k = jax.random.PRNGKey(100 + i)
+            gs.append(np.asarray(material_grads(scaled_scene, k, g, W, H, SPP, CFG)["diffuse"]))
+    kern = np.mean(gs, axis=0)
+
+    def loss(diffuse, k):
+        s = dataclasses.replace(
+            scaled_scene,
+            materials=dataclasses.replace(scaled_scene.materials, diffuse=diffuse),
+        )
+        return jnp.mean(render_pass_budget(s, k, W, H, SPP, CFG)[..., :3])
+
+    gf = jax.jit(jax.grad(loss))
+    ref = np.mean(
+        [
+            np.asarray(gf(scaled_scene.materials.diffuse, jax.random.PRNGKey(200 + i)))
+            for i in range(n_seeds)
+        ],
+        axis=0,
+    )[:, :3]
+    # compare the dominant entries (small-sample Monte Carlo agreement)
+    scale = np.abs(ref).max()
+    assert scale > 0
+    np.testing.assert_allclose(kern, ref, atol=0.25 * scale)
+
+
+# ---- one_light_nee in the gradient kernels (round-4, VERDICT item 6) ------
+@pytest.fixture(scope="module")
+def manylight_scene():
+    from kajo_tpu.scene.procedural import random_spheres_scene
+
+    s = random_spheres_scene(10, seed=23, extent=8.0, n_lights=3)
+    return jax.tree.map(jnp.asarray, s)
+
+
+def _ol_cfg():
+    return dataclasses.replace(CFG, one_light_nee=True)
+
+
+def test_one_light_emission_grad_exact_small_k(manylight_scene):
+    """Emission is linear at fixed seed: the PRB kernel under one_light_nee
+    must match same-seed FD of the forward megakernel (also one-light, same
+    PCG4D stream)."""
+    cfg = _ol_cfg()
+    li = int(np.asarray(manylight_scene.light_indices).ravel()[0])
+    row = manylight_scene.num_planes + li
+    g = np.ones((H, W, 3), np.float32) / (H * W * 3)
+    with pltpu.force_tpu_interpret_mode():
+        gr = material_grads(manylight_scene, KEY, g, W, H, SPP, cfg)
+        gr = {k: np.asarray(v) for k, v in gr.items()}
+
+    def mean_of(s):
+        with pltpu.force_tpu_interpret_mode():
+            return float(jnp.mean(render_pass_megakernel(s, KEY, W, H, SPP, cfg)[..., :3]))
+
+    h = 10.0
+    fd = (
+        mean_of(_with_mat(manylight_scene, "emission", row, 1, h))
+        - mean_of(_with_mat(manylight_scene, "emission", row, 1, -h))
+    ) / (2 * h)
+    np.testing.assert_allclose(gr["emission"][row, 1], fd, rtol=2e-3, atol=1e-9)
+
+
+def test_one_light_emission_grad_exact_big_k(big_scene):
+    """Same linear-FD pin through the big-K path (keyed c_le planes flushed
+    into the VMEM table: the per-lane selected-light row)."""
+    import dataclasses as dc
+
+    from kajo_tpu.ops.pallas import megakernel_grad
+
+    assert big_scene.num_objects > megakernel_grad.GRAD_UNROLL_OBJECTS
+    assert big_scene.num_lights > 1
+    cfg = dc.replace(CFG, one_light_nee=True)
+    li = int(np.asarray(big_scene.light_indices).ravel()[0])
+    row = big_scene.num_planes + li
+    g = np.ones((H, W, 3), np.float32) / (H * W * 3)
+    with pltpu.force_tpu_interpret_mode():
+        gr = material_grads(big_scene, KEY, g, W, H, SPP, cfg)
+        gr = {k: np.asarray(v) for k, v in gr.items()}
+
+    def mean_of(s):
+        with pltpu.force_tpu_interpret_mode():
+            return float(jnp.mean(render_pass_megakernel(s, KEY, W, H, SPP, cfg)[..., :3]))
+
+    h = 10.0
+    fd = (
+        mean_of(_with_mat(big_scene, "emission", row, 1, h))
+        - mean_of(_with_mat(big_scene, "emission", row, 1, -h))
+    ) / (2 * h)
+    np.testing.assert_allclose(gr["emission"][row, 1], fd, rtol=2e-3, atol=1e-9)
+
+
+# ---- mega-fwd beyond the unroll cap (round-4, VERDICT item 5) -------------
+def test_jvp_kernel_fori_path_matches_unrolled(scene):
+    """The dual-scalar injection (scene read = v + e * v_tan) threads
+    tangents through the DYNAMIC-SMEM fori object/material loops, lifting
+    the old unrolled-only restriction: forcing the fori path must reproduce
+    the unrolled jvp kernel's primal AND tangent."""
+    from kajo_tpu.ops.pallas import megakernel
+    from kajo_tpu.ops.pallas.megakernel import (
+        render_pass_megakernel_jvp,
+        scene_zero_tangent,
+    )
+
+    tan = scene_zero_tangent(scene)
+    tan = dataclasses.replace(
+        tan, sphere_transform=tan.sphere_transform.at[1, 0, 3].set(1.0)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        img_u, dot_u = render_pass_megakernel_jvp(scene, tan, KEY, W, H, SPP, CFG)
+    old = megakernel.UNROLL_OBJECTS
+    megakernel.UNROLL_OBJECTS = 0
+    render_pass_megakernel_jvp.clear_cache()
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            img_f, dot_f = render_pass_megakernel_jvp(scene, tan, KEY, W, H, SPP, CFG)
+    finally:
+        megakernel.UNROLL_OBJECTS = old
+        render_pass_megakernel_jvp.clear_cache()
+    np.testing.assert_allclose(np.asarray(img_f), np.asarray(img_u), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dot_f), np.asarray(dot_u), rtol=1e-4, atol=1e-5)
+    assert float(np.abs(np.asarray(dot_u)).sum()) > 1.0  # real signal
+
+
+def test_jvp_kernel_100_objects_matches_geom_kernel():
+    """mega-fwd at 100+ objects (far beyond UNROLL_OBJECTS): the jvp kernel's
+    cotangent-contracted tangent must equal the reverse-mode geometry
+    kernel's table entry (same stream, both all-size kernels now)."""
+    from kajo_tpu.ops.pallas.megakernel import (
+        render_pass_megakernel_jvp,
+        scene_zero_tangent,
+    )
+    from kajo_tpu.ops.pallas.megakernel_geom import geometry_grads
+    from kajo_tpu.scene.procedural import random_spheres_scene
+
+    big = jax.tree.map(jnp.asarray, random_spheres_scene(100, seed=7, extent=12.0, n_lights=2))
+    assert big.num_spheres >= 100
+    cot = jnp.ones((H, W, 3), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        rev = geometry_grads(big, KEY, cot, W, H, SPP, CFG)
+    # pick the sphere with the largest center-gradient magnitude (visible)
+    ci = int(np.abs(np.asarray(rev["center"])).sum(axis=1).argmax())
+    for ax in range(3):
+        tan = scene_zero_tangent(big)
+        tan = dataclasses.replace(
+            tan, sphere_transform=tan.sphere_transform.at[ci, ax, 3].set(1.0)
+        )
+        with pltpu.force_tpu_interpret_mode():
+            _, img_dot = render_pass_megakernel_jvp(big, tan, KEY, W, H, SPP, CFG)
+        want = float(jnp.sum(cot * img_dot[..., :3]))
+        got = float(rev["center"][ci, ax])
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)

@@ -105,3 +105,18 @@ def test_scene_is_pytree():
     # static structure survives tree mapping
     mapped = jax.tree.map(lambda x: x, scene)
     assert mapped.light_indices == scene.light_indices
+
+
+def test_one_arg_scale_is_zero_filled_parity():
+    """``scale(.5)`` == scale(.5, 0, 0): the reference's parseVec3 leaves
+    failed stream extractions at 0 (Parser.cpp:49-62), so one-arg scale is a
+    DEGENERATE transform there too — replicated, and documented so scene
+    files always write three components (data/scaled.json does)."""
+    import numpy as np
+
+    from kajo_tpu.scene.parser import parse_transform
+
+    m = parse_transform("scale(.5)")
+    np.testing.assert_allclose(np.diag(m), [0.5, 0.0, 0.0, 1.0])
+    m3 = parse_transform("scale(.5, .5, .5)")
+    np.testing.assert_allclose(np.diag(m3), [0.5, 0.5, 0.5, 1.0])

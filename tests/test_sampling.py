@@ -131,3 +131,35 @@ def test_light_sample_hits_sphere_cone():
     cos_cone = np.sqrt(1 - (1.0 / 10.0) ** 2)
     assert np.all(cos_to_center >= cos_cone - 1e-4)
     np.testing.assert_allclose(pdf, 1.0 / (2 * np.pi * (1 - cos_cone)), rtol=1e-4)
+
+
+def test_solid_angle_far_grazing_jvp_finite():
+    """Ω must stay strictly positive (and its jvp finite) at far-grazing
+    distances: the naive 1 - sqrt(1 - x²) rounds to EXACTLY 0 in f32 for
+    x < ~2e-4 (a grazing plane hit thousands of units out still NEE-samples
+    the light), making pdf = 1/Ω infinite — finite primal (the MIS weight
+    divides by it) but a 0·inf = NaN tangent that poisoned interior
+    gradients in EVERY engine (found round 4 via a config-5-class inverse
+    run). The cancellation-free x²/(1 + sqrt(1 - x²)) form fixes it."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kajo_tpu.ops import lights
+
+    radius = jnp.float32(0.3)
+    pos = jnp.array([3750.0, 0.0, 0.0], jnp.float32)
+
+    def f(center):
+        return lights.pdf(center, radius, pos)
+
+    c0 = jnp.zeros((3,), jnp.float32)
+    pdf, dpdf = jax.jvp(f, (c0,), (jnp.ones((3,), jnp.float32),))
+    assert np.isfinite(float(pdf)), pdf  # Ω > 0 -> finite pdf
+    assert np.isfinite(float(dpdf)), dpdf
+    # zero-tangent jvp is the exact failure mode that was NaN
+    _, dz = jax.jvp(f, (c0,), (jnp.zeros((3,), jnp.float32),))
+    assert float(dz) == 0.0, dz
+    # and the value still matches the small-angle limit pi * x^2 / ... well
+    x = float(radius / 3750.0)
+    assert abs(float(1.0 / pdf) - np.pi * x * x) / (np.pi * x * x) < 1e-3
