@@ -52,6 +52,14 @@ def build_argparser() -> argparse.ArgumentParser:
         "[1/(1+j), 1+j] (non-rigid object-space trace layout)",
     )
     p.add_argument("--spp", type=int, default=32, help="samples/pixel/pass (32, kajo default)")
+    p.add_argument(
+        "--batch",
+        type=int,
+        default=0,
+        help="passes per device dispatch (0 = auto: 4, or 8 for big scenes "
+        "on the fast engine; amortizes the remote runtime's per-dispatch "
+        "overhead — preview/saves update per batch)",
+    )
     p.add_argument("--passes", type=int, default=8, help="progressive passes (8; 0 = run until Ctrl-C)")
     p.add_argument("--depth", type=int, default=8, help="max path depth (8)")
     p.add_argument("--seed", type=int, default=0, help="RNG seed")
@@ -68,10 +76,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--exact-spp", action="store_true", help="disable kajo's 25/32 spp quirk")
     p.add_argument(
         "--one-light-nee",
-        action="store_true",
+        action=argparse.BooleanOptionalAction,
+        default=None,
         help="sample ONE uniformly chosen light per vertex (x L) instead of "
         "every light — unbiased, 1 shadow ray/vertex; big win in many-light "
-        "big scenes (fast engine)",
+        "big scenes. Default: ON for --procedural scenes with >= 10000 "
+        "spheres (the big-scene config), off otherwise; "
+        "--no-one-light-nee forces the reference's all-lights loop",
     )
     p.add_argument("--no-direct", action="store_true", help="disable NEE (pure BSDF path tracing)")
     p.add_argument("-o", "--out", default="out.png", help="output PNG (out.png)")
@@ -146,6 +157,18 @@ def main(argv=None) -> int:
     if regen is None:
         # the reference GL backend always culls at 0.01 (SurfaceShader.cpp:89)
         regen = 0.01 if args.renderer == "gl" else 0.0
+    one_light = args.one_light_nee
+    if one_light is None:
+        # big-scene default: one-of-L light sampling is unbiased and ~2x
+        # faster on the streaming path (fewer shadow traces); parity configs
+        # opt out with --no-one-light-nee
+        one_light = args.procedural >= 10_000
+        if one_light:
+            print(
+                "one-light NEE enabled for the big-scene config "
+                "(--no-one-light-nee for the all-lights loop)",
+                file=sys.stderr,
+            )
     config = RenderConfig(
         max_depth=args.depth,
         surface_epsilon=args.epsilon,
@@ -153,7 +176,7 @@ def main(argv=None) -> int:
         full_mis=args.full_mis,
         kajo_spp_quirk=not args.exact_spp,
         regen_threshold=regen,
-        one_light_nee=args.one_light_nee,
+        one_light_nee=one_light,
         # -r gl is the GL backend's EXACT estimator (first-vertex-only
         # emission, no RR, post-shade cull, no background on miss — see
         # integrator.RenderConfig.gl_semantics)
@@ -215,9 +238,18 @@ def main(argv=None) -> int:
     if args.profile:
         jax.profiler.start_trace(args.profile)
     n_passes = args.passes if args.passes > 0 else 1 << 30
-    # dispatch overhead dominates small passes; the megakernel engine batches
-    # several passes per device dispatch (preview still updates per batch)
-    batch = 4 if (engine == "mega" and not args.shard and not args.shard_objects) else 1
+    # dispatch overhead dominates small passes; the megakernel AND fast
+    # engines batch several passes per device dispatch (preview still
+    # updates per batch) — measured ~1.6x on the 100k-sphere config with
+    # batch 8 (+ the lane multiplier, wavefront.LANE_MULT)
+    if args.batch > 0:
+        batch = args.batch
+    elif engine in ("mega", "fast") and not args.shard and not args.shard_objects:
+        from .ops.geometry import STREAM_THRESHOLD
+
+        batch = 8 if (engine == "fast" and scene.num_spheres > STREAM_THRESHOLD) else 4
+    else:
+        batch = 1
     t0 = time.time()
     samples_done = 0
     done = start_pass
@@ -249,10 +281,16 @@ def main(argv=None) -> int:
                         engine, scene, jax.random.fold_in(key, p), args.width,
                         args.height, args.spp, config, make_mesh(),
                     )
-                elif nb > 1:
+                elif nb > 1 and engine == "mega":
                     from .ops.pallas.megakernel import render_passes_megakernel
 
                     pass_img = render_passes_megakernel(
+                        scene, key, p, args.width, args.height, args.spp, nb, config
+                    )
+                elif nb > 1:
+                    from .models.wavefront import render_passes_fast
+
+                    pass_img = render_passes_fast(
                         scene, key, p, args.width, args.height, args.spp, nb, config
                     )
                 else:

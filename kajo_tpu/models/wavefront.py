@@ -53,6 +53,11 @@ _CAMERA_SALT = jnp.uint32(0x7FFFFFFF)
 # the scene uses the streaming trace); True/False = override for A/B runs.
 REORDER_WAVEFRONT: bool | None = None
 
+# Lane multiplier for streaming scenes (render_pass_fast): each pixel's
+# samples split across this many lanes (when eff_spp divides), cutting
+# while_loop iterations by the same factor. 1 = off.
+LANE_MULT: int = 4
+
 
 def _maxrgb(c):
     return jnp.max(c, axis=-1)
@@ -182,6 +187,8 @@ def _make_loop(
     trace_fn=trace,
     pix=None,
     reorder: bool = False,
+    sample_lo=None,
+    sample_hi=None,
 ):
     """Build (init_state, cond, body) for the regenerating wavefront.
 
@@ -198,10 +205,24 @@ def _make_loop(
     trace call in the body (path + shadow rays share the lane origins).
     A pure permutation: per-lane PCG4D streams are keyed by the carried lane
     id, so the estimator is bit-identical — only the lane order (and the
-    final scatter by ``pix``) changes."""
+    final scatter by ``pix``) changes.
+
+    ``sample_lo``/``sample_hi`` (per-lane int32, optional): each lane walks
+    samples [lo, hi) instead of [0, eff_spp) — the lane-multiplier path
+    splits a pixel's eff_spp samples across several lanes (distinct stream
+    keys via distinct lane ids, full stratum coverage via the global sample
+    index), cutting the while_loop's iteration count by the multiplier."""
     n = lane.shape[0]
     if pix is None:
         pix = lane
+    if sample_lo is None:
+        s_lo = jnp.zeros((n,), jnp.int32)
+        s_hi = jnp.full((n,), eff_spp, jnp.int32)
+    else:
+        s_lo = jnp.asarray(sample_lo, jnp.int32)
+        s_hi = jnp.asarray(sample_hi, jnp.int32)
+    # per-lane bounds must ride the reorder permutation with the lane ids
+    carry_hi = reorder and sample_lo is not None
     if reorder:
         from ..ops.pallas.stream_trace import ray_sort_perm
 
@@ -231,7 +252,7 @@ def _make_loop(
         config.regen_threshold if config.regen_threshold > 0.0 else 0.01
     )
 
-    sample0 = jnp.zeros((n,), jnp.int32)
+    sample0 = s_lo
     o0, d0 = _camera_ray(prep, lane, pix, sample0, seed, width, height, grid)
     state = dict(
         sample=sample0,
@@ -259,6 +280,8 @@ def _make_loop(
         state["pix"] = jnp.asarray(pix, jnp.uint32)
         # original row position, so render_lanes can un-permute the result
         state["row"] = jnp.arange(n, dtype=jnp.uint32)
+        if carry_hi:
+            state["s_hi"] = s_hi
 
     # uniform4 calls per vertex; one-light NEE needs 4 NEE uniforms
     # (selector + 3 sample dims) regardless of L
@@ -266,12 +289,13 @@ def _make_loop(
     ncalls = -(-n_uni // 4)
 
     def cond(state):
-        return jnp.any(state["sample"] < eff_spp)
+        return jnp.any(state["sample"] < (state["s_hi"] if carry_hi else s_hi))
 
     def body(state):
         lane_b = state["lane"] if reorder else lane
         pix_b = state["pix"] if reorder else pix
-        active = state["sample"] < eff_spp
+        hi_b = state["s_hi"] if carry_hi else s_hi
+        active = state["sample"] < hi_b
         sample_u = state["sample"].astype(jnp.uint32)
         depth = state["depth"]
         salt0 = depth.astype(jnp.uint32) * jnp.uint32(ncalls)
@@ -411,7 +435,7 @@ def _make_loop(
         path_end = active & ~continuing
         new_sample = jnp.where(path_end, state["sample"] + 1, state["sample"])
         o_cam, d_cam = _camera_ray(
-            prep, lane_b, pix_b, jnp.minimum(new_sample, eff_spp - 1), seed, width, height, grid
+            prep, lane_b, pix_b, jnp.minimum(new_sample, hi_b - 1), seed, width, height, grid
         )
         regen = path_end
 
@@ -456,6 +480,8 @@ def _make_loop(
             new_state["lane"] = lane_b
             new_state["pix"] = pix_b
             new_state["row"] = state["row"]
+            if carry_hi:
+                new_state["s_hi"] = hi_b
             perm = ray_sort_perm(new_o, new_dir, sort_lo, sort_hi)
             new_state = {
                 k: (v[perm] if v.ndim >= 1 else v) for k, v in new_state.items()
@@ -466,7 +492,8 @@ def _make_loop(
 
 
 def render_lanes(
-    prep, lane, seed, width, height, eff_spp, grid, config, trace_fn=trace, pix=None, reorder=False
+    prep, lane, seed, width, height, eff_spp, grid, config, trace_fn=trace, pix=None,
+    reorder=False, sample_lo=None, sample_hi=None,
 ):
     """Exact engine: loop until every lane finishes all its samples.
 
@@ -474,7 +501,8 @@ def render_lanes(
     iteration (see ``_make_loop``); the result is un-permuted back to the
     caller's lane order, so it is bit-identical to ``reorder=False``."""
     state, cond, body = _make_loop(
-        prep, lane, seed, width, height, eff_spp, grid, config, trace_fn, pix, reorder=reorder
+        prep, lane, seed, width, height, eff_spp, grid, config, trace_fn, pix,
+        reorder=reorder, sample_lo=sample_lo, sample_hi=sample_hi,
     )
     state = jax.lax.while_loop(cond, body, state)
     rad = state["radiance"]
@@ -523,26 +551,83 @@ def render_pass_fast(
     divisor = float(spp if config.kajo_spp_quirk else eff)
 
     n = width * height
-    lane = jnp.arange(n, dtype=jnp.uint32)
     seed = seed_from_key(key)
-    pix = None
     from ..ops.geometry import STREAM_THRESHOLD, _stream_enabled
 
     # tile remapping and per-iteration reordering only pay off when the
     # trace actually takes the tile-culling streaming kernel — on dense/
     # chunked backends the per-iteration argsort+gather is pure overhead
     streaming = scene.num_spheres > STREAM_THRESHOLD and _stream_enabled()
-    if streaming:
-        pix = jnp.asarray(tiled_pixel_order(width, height))
     reorder = streaming if REORDER_WAVEFRONT is None else REORDER_WAVEFRONT
-    rgb, _ = render_lanes(
-        prep, lane, seed, width, height, eff, grid, config, pix=pix, reorder=reorder
-    )
-    rgb = rgb / divisor
-    if pix is not None:
-        rgb = jnp.zeros_like(rgb).at[pix.astype(jnp.int32)].set(rgb)
+
+    # lane multiplier (streaming scenes): split each pixel's eff samples
+    # across `mult` lanes with distinct stream keys and disjoint global
+    # sample ranges — ~mult-x fewer while_loop iterations, so the
+    # per-iteration glue (and the trace kernels' fixed floor) amortizes
+    # over mult-x more rays. Measured round 4 on config 5: 12 -> 3
+    # iterations, ~1.6x samples/s. Exact same per-pixel sample budget and
+    # strata; streams differ from mult=1 (any lane->(pixel, sample-slice)
+    # bijection is a valid estimator — statistically identical).
+    mult = 1
+    if streaming and LANE_MULT > 1:
+        for m in (LANE_MULT, 2):
+            if eff % m == 0:
+                mult = m
+                break
+    if mult > 1:
+        k = eff // mult
+        lane = jnp.arange(n * mult, dtype=jnp.uint32)
+        pixmap = jnp.asarray(tiled_pixel_order(width, height))
+        pix = pixmap[(lane % n).astype(jnp.int32)]
+        s_lo = ((lane // n) * k).astype(jnp.int32)
+        rgb, _ = render_lanes(
+            prep, lane, seed, width, height, eff, grid, config, pix=pix,
+            reorder=reorder, sample_lo=s_lo, sample_hi=s_lo + k,
+        )
+        rgb = jnp.zeros((n, 3), jnp.float32).at[pix.astype(jnp.int32)].add(rgb)
+        rgb = rgb / divisor
+    else:
+        lane = jnp.arange(n, dtype=jnp.uint32)
+        pix = jnp.asarray(tiled_pixel_order(width, height)) if streaming else None
+        rgb, _ = render_lanes(
+            prep, lane, seed, width, height, eff, grid, config, pix=pix, reorder=reorder
+        )
+        rgb = rgb / divisor
+        if pix is not None:
+            rgb = jnp.zeros_like(rgb).at[pix.astype(jnp.int32)].set(rgb)
     img = jnp.concatenate([rgb, jnp.ones((n, 1), jnp.float32)], axis=1)
     return img.reshape(height, width, 4)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "n_passes", "config"))
+def render_passes_fast(
+    scene: Scene,
+    key: jax.Array,
+    pass_offset: jax.Array,
+    width: int,
+    height: int,
+    spp: int,
+    n_passes: int,
+    config: RenderConfig = RenderConfig(),
+) -> jax.Array:
+    """Sum of ``n_passes`` wavefront passes in ONE dispatch.
+
+    Per-pass dispatch/readback overhead on the remote TPU runtime dominates
+    the ~250 ms big-scene pass (measured round 4: one-light config-5 runs
+    131K samples/s pass-at-a-time vs 196-200K batched 4-8 under one jit +
+    scan — the same amortization render_passes_megakernel gives the small-
+    scene engine). Pass keys are fold_in(key, pass_offset + i), identical to
+    the unbatched progressive loop."""
+    def body(carry, i):
+        img = render_pass_fast(
+            scene, jax.random.fold_in(key, pass_offset + i), width, height, spp, config
+        )
+        return carry + img, None
+
+    total, _ = jax.lax.scan(
+        body, jnp.zeros((height, width, 4), jnp.float32), jnp.arange(n_passes)
+    )
+    return total
 
 
 def tiled_pixel_order(width, height, ts: int = 64):

@@ -780,3 +780,24 @@ def test_occl_shadow_render_bitexact_nearest_visibility():
         render_pass_fast.clear_cache()
     assert np.isfinite(b).all()
     np.testing.assert_array_equal(a, b)
+
+
+def test_render_passes_fast_equals_single_passes():
+    """Pass batching (render_passes_fast, one jit+scan dispatch — the CLI's
+    default for the fast engine since round 4) is BIT-IDENTICAL to the sum
+    of the individual passes: same fold_in keys, same estimator."""
+    import jax
+
+    from kajo_tpu.models.integrator import RenderConfig
+    from kajo_tpu.models.wavefront import render_pass_fast, render_passes_fast
+
+    scene = random_spheres_scene(120, seed=3, extent=12.0, n_lights=2)
+    cfg = RenderConfig(max_depth=2)
+    key = jax.random.PRNGKey(5)
+    w, h, spp, nb = 24, 16, 4, 3
+    single = sum(
+        np.asarray(render_pass_fast(scene, jax.random.fold_in(key, 7 + i), w, h, spp, cfg))
+        for i in range(nb)
+    )
+    batched = np.asarray(render_passes_fast(scene, key, jnp.int32(7), w, h, spp, nb, cfg))
+    np.testing.assert_array_equal(batched, single)
