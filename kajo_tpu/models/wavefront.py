@@ -86,20 +86,6 @@ def _nee3(prep, hit, mat, u_l, m_lambert, m_phong, eps, trace_fn=trace):
     center = prep.light_center[None, :, :]
     radius = prep.light_radius[None, :]
     dir_l, pdf_l = lights.sample(u_l[0], u_l[1], u_l[2], center, radius, pos)
-
-    # visibility: ANY-HIT occlusion kernel on the streaming path (geometry.
-    # light_visible; the light hit t is closed-form so "nearest == light"
-    # decomposes into plane + any-sphere-below tests), nearest trace bounded
-    # by dist + radius + 1 elsewhere
-    visible = light_visible(
-        prep,
-        (pos + dir_l * eps).reshape(n * num_l, 3),
-        dir_l.reshape(n * num_l, 3),
-        jnp.broadcast_to(center, (n, num_l, 3)).reshape(n * num_l, 3),
-        jnp.broadcast_to(radius, (n, num_l)).reshape(n * num_l),
-        jnp.broadcast_to(prep.light_obj[None, :], (n, num_l)).reshape(n * num_l),
-        trace_fn,
-    ).reshape(n, num_l)
     not_self = hit.obj[:, None] != prep.light_obj[None, :]
 
     normal = hit.normal[:, None, :]
@@ -119,6 +105,23 @@ def _nee3(prep, hit, mat, u_l, m_lambert, m_phong, eps, trace_fn=trace):
             0.0,
         ),
     )
+    # visibility: ANY-HIT occlusion kernel on the streaming path (geometry.
+    # light_visible; the light hit t is closed-form so "nearest == light"
+    # decomposes into plane + any-sphere-below tests), nearest trace bounded
+    # by dist + radius + 1 elsewhere. Lanes whose term is dead regardless of
+    # visibility (backfacing bsdf, self-hit, non-scattering) skip the
+    # occlusion work via the sticky-zero bound.
+    needed = not_self & (pdf_b != 0) & (pdf_l > 0) & (m_lambert | m_phong)[:, None]
+    visible = light_visible(
+        prep,
+        (pos + dir_l * eps).reshape(n * num_l, 3),
+        dir_l.reshape(n * num_l, 3),
+        jnp.broadcast_to(center, (n, num_l, 3)).reshape(n * num_l, 3),
+        jnp.broadcast_to(radius, (n, num_l)).reshape(n * num_l),
+        jnp.broadcast_to(prep.light_obj[None, :], (n, num_l)).reshape(n * num_l),
+        trace_fn,
+        needed.reshape(n * num_l),
+    ).reshape(n, num_l)
     ok = visible & not_self & (pdf_b != 0) & (pdf_l > 0)
     weight = jnp.where(ok, 1.0 / (pdf_b + pdf_l), 0.0)
     return jnp.sum(weight[..., None] * fcos * prep.light_emission[None, :, :3], axis=1)
@@ -139,9 +142,6 @@ def _nee3_one_light(prep, hit, mat, u_sel, u3, m_lambert, m_phong, eps, trace_fn
 
     pos = hit.position
     dir_l, pdf_l = lights.sample(u3[0], u3[1], u3[2], center, radius, pos)
-    visible = light_visible(
-        prep, pos + dir_l * eps, dir_l, center, radius, lobj, trace_fn
-    )
     not_self = hit.obj != lobj
 
     exp = mat["specular_exponent"]
@@ -158,6 +158,12 @@ def _nee3_one_light(prep, hit, mat, u_sel, u3, m_lambert, m_phong, eps, trace_fn
             bsdf.phong_eval_cos(mat["specular"], hit.view, hit.normal, dir_l, exp),
             0.0,
         ),
+    )
+    # lanes whose term is dead regardless of visibility skip the occlusion
+    # work (sticky-zero bound; ~36% of the big-scene pass was shadow queries)
+    needed = not_self & (pdf_b != 0) & (pdf_l > 0) & (m_lambert | m_phong)
+    visible = light_visible(
+        prep, pos + dir_l * eps, dir_l, center, radius, lobj, trace_fn, needed
     )
     ok = visible & not_self & (pdf_b != 0) & (pdf_l > 0)
     weight = jnp.where(ok, num_l / (pdf_b + pdf_l), 0.0)

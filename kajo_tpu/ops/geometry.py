@@ -578,13 +578,23 @@ def trace(prep: PreparedScene, o: jax.Array, d: jax.Array, t_max=None) -> Surfac
 OCCL_SHADOW: bool = True
 
 
-def light_visible(prep: PreparedScene, o, d, center, radius, lobj, trace_fn=None):
+def light_visible(
+    prep: PreparedScene, o, d, center, radius, lobj, trace_fn=None, needed=None
+):
     """NEE visibility: does the nearest hit along (o, d) land on light lobj?
 
     Semantics = ``trace(prep, o, d).obj == lobj`` (the reference's canReach,
     cpu/Shader.cpp:205-216 — the shadow ray must FIND the light, so any
     strictly nearer object occludes). ``center``/``radius``/``lobj`` describe
     the queried light per ray ([M,3], [M], [M] int32).
+
+    ``needed`` (optional bool [M]): lanes whose NEE term is zero REGARDLESS
+    of visibility (backfacing bsdf, self-hit — the caller's ``ok`` mask
+    already ands them out). The fast path zeroes their search bound so the
+    sticky-zero cull skips their sphere work entirely; their returned value
+    is unspecified (the caller must mask, as it already does). The fallback
+    nearest-trace path ignores ``needed`` — renders are identical either
+    way because dead lanes' contributions are masked downstream.
 
     Fast path (rigid streamed scenes, default trace): the light's hit t is
     closed-form (the SAME stable quadratic, same operand order, same input
@@ -642,6 +652,8 @@ def light_visible(prep: PreparedScene, o, d, center, radius, lobj, trace_fn=None
     excl = inv_perm[jnp.clip(lobj - num_p, 0, num_s - 1)]
     t_cut = jnp.minimum(t_l, t_pl)
     t_cut = jnp.where(valid_l, t_cut, 0.0)  # light missed: occluded, free
+    if needed is not None:
+        t_cut = jnp.where(needed, t_cut, 0.0)  # dead NEE term: free too
     if SORT_STREAM_RAYS and prep.stream_boxes is not None:
         boxes2 = prep.stream_boxes[:, 0, :]
         blo = jnp.min(boxes2[:, 0:3], axis=0)
