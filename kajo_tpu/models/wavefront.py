@@ -47,11 +47,16 @@ from ..scene.types import Scene
 
 _CAMERA_SALT = jnp.uint32(0x7FFFFFFF)
 
-# Keep the wavefront sorted by (ray-origin Morton cell, direction octant)
-# every iteration on big (streaming-trace) scenes, so bounce/NEE ray tiles
-# stay spatially coherent for the per-block AABB cull. None = auto (on when
-# the scene uses the streaming trace); True/False = override for A/B runs.
+# Keep the wavefront state sorted by (ray-origin Morton cell, direction
+# octant) every iteration on streaming scenes. HISTORY: introduced in round 2
+# when it won; round 4's lane multiplier + pass batching flipped the balance
+# — geometry.trace/light_visible ALREADY sort their rays per call
+# (SORT_STREAM_RAYS), so the kernels see coherent tiles either way and the
+# state-level argsort+gather became pure overhead: 211.8K (on) vs 288.4K
+# (off) samples/s on config 5, bit-identical images (the un-permute makes
+# reorder transparent). None = auto (now OFF); True/False = A/B override.
 REORDER_WAVEFRONT: bool | None = None
+_REORDER_AUTO: bool = False
 
 # Lane multiplier for streaming scenes (render_pass_fast): each pixel's
 # samples split across this many lanes (when eff_spp divides), cutting
@@ -564,7 +569,11 @@ def render_pass_fast(
     # trace actually takes the tile-culling streaming kernel — on dense/
     # chunked backends the per-iteration argsort+gather is pure overhead
     streaming = scene.num_spheres > STREAM_THRESHOLD and _stream_enabled()
-    reorder = streaming if REORDER_WAVEFRONT is None else REORDER_WAVEFRONT
+    reorder = (
+        (streaming and _REORDER_AUTO)
+        if REORDER_WAVEFRONT is None
+        else REORDER_WAVEFRONT
+    )
 
     # lane multiplier (streaming scenes): split each pixel's eff samples
     # across `mult` lanes with distinct stream keys and disjoint global
