@@ -50,11 +50,12 @@ _CAMERA_SALT = jnp.uint32(0x7FFFFFFF)
 # Keep the wavefront state sorted by (ray-origin Morton cell, direction
 # octant) every iteration on streaming scenes. HISTORY: introduced in round 2
 # when it won; round 4's lane multiplier + pass batching flipped the balance
-# — geometry.trace/light_visible ALREADY sort their rays per call
-# (SORT_STREAM_RAYS), so the kernels see coherent tiles either way and the
-# state-level argsort+gather became pure overhead: 211.8K (on) vs 288.4K
+# — the tiled pixel order already hands the kernels tile-coherent lanes, so
+# the state-level argsort+gather became pure overhead: 211.8K (on) vs 288.4K
 # (off) samples/s on config 5, bit-identical images (the un-permute makes
-# reorder transparent). None = auto (now OFF); True/False = A/B override.
+# reorder transparent). Round 5 found the same for the PER-CALL sorts
+# (geometry.SORT_STREAM_RAYS, now also default off — see its history note).
+# None = auto (now OFF); True/False = A/B override.
 REORDER_WAVEFRONT: bool | None = None
 _REORDER_AUTO: bool = False
 

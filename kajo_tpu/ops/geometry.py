@@ -277,7 +277,15 @@ FORCE_STREAM: bool | None = None
 # Sort rays by (origin Morton cell, direction octant) before the streaming
 # kernel so ray tiles stay coherent for bounce/NEE rays (stream_trace.py
 # ray_sort_perm). Bit-identical results; flag exists for A/B benchmarking.
-SORT_STREAM_RAYS: bool = True
+# HISTORY: introduced in round 3 when it won big (scanline-ordered lanes);
+# round 4's tiled pixel order + lane multiplier made lanes tile-coherent at
+# the SOURCE, and round 5's interleaved (drift-cancelling, AOT-paired) A/Bs
+# show the two ~10-40 ms argsort+gather rounds per wavefront iteration now
+# cost more than the culling they buy: config 5 (100k, depth 2) 206K
+# unsorted vs 194K sorted; 10k spheres 256x192 depth 4 1116K vs 820K
+# (+36%); the only regime sorting still edges out is 100k depth 4 (183K vs
+# 179K — within noise). Default OFF since round 5 (tools/sort_ab3.py).
+SORT_STREAM_RAYS: bool = False
 
 
 def _stream_enabled() -> bool:
