@@ -562,6 +562,34 @@ def main():
 
     rows.run("rays_per_s", _rays_row)
 
+    # sharded megakernel on a 1-device mesh: the production multi-chip SPMD
+    # path (shard_map over global lane blocks, bit-identical to unsharded —
+    # tests/test_parallel.py). The ratio to the headline is the sharding
+    # machinery's whole per-device overhead; forward rendering runs zero
+    # collectives, so this is the measured basis of the >=85% multi-chip
+    # scaling-efficiency posture (BASELINE.md) on the one reachable chip.
+    def _sharded_row():
+        if engine != "mega":
+            return None
+        from kajo_tpu.parallel.render import make_mesh
+        from kajo_tpu.ops.pallas.megakernel import render_pass_megakernel_sharded
+
+        mesh1 = make_mesh(jax.devices()[:1])
+        render_pass_megakernel_sharded(
+            scene, key, W, H, SPP, config, mesh1
+        ).block_until_ready()
+        rate, _ = timed_groups(
+            lambda i: render_pass_megakernel_sharded(
+                scene, jax.random.fold_in(key, 40 + i), W, H, SPP, config, mesh1
+            ),
+            samples_per_pass,
+            groups=3,
+            iters=iters,
+        )
+        return round(rate)
+
+    rows.run("sharded_mega_samples_per_s", _sharded_row)
+
     # SECOND MEASUREMENT WINDOW for the two flagship rows, taken at the END
     # of the run (maximal time separation from window 1). The axon tunnel
     # has multi-minute degradation episodes (round-4 driver capture:

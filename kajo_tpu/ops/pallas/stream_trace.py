@@ -939,11 +939,18 @@ V4_SUB = 4  # 128-sphere sub-blocks per streamed SMEM block (8 OOMs SMEM)
 # (a sub-block is skipped when no ray in the tile can hit it; with wavefront
 # reordering small tiles are origin-local and mono-octant). Must divide
 # RAY_ROWS (callers pad ray counts to RAY_ROWS*128).
-# MEASURED (real TPU, 100k spheres, same process): 32 wins — 8 is 10.0 ms
-# primary / 40.7 ms scattered / 74.5K samples/s render vs 32's 9.0 / 22.8 /
-# 121.4K: the fixed per-grid-step cost of 4x more inner steps swamps the
-# finer cull even in the reordered bounce regime. Keep 32.
-V4_RAY_ROWS = 32
+# MEASURED round 3 (real TPU, 100k spheres, sorted rays, same process): 32
+# won — 8 was 10.0 ms primary / 40.7 ms scattered / 74.5K render vs 32's
+# 9.0 / 22.8 / 121.4K. RE-MEASURED round 5 with per-call sorting off
+# (tools/flag_ab.py, interleaved AOT pairs): at 100k spheres 16 now WINS —
+# 316K vs 292K (config 5), 209K vs 193K (depth 4), 226K vs 199K (non-rigid)
+# — tile-source coherence is coarser without the sort, so halving the tile
+# recovers cull selectivity; at 10k spheres 32 still wins (1116K vs 1044K:
+# only ~20 streamed blocks to cull, per-step overhead dominates).
+# None = auto (16 when the padded stream has >= V4_RR_AUTO_BLOCKS outer
+# blocks, else 32); int = forced (A/B).
+V4_RAY_ROWS: int | None = None
+V4_RR_AUTO_BLOCKS = 64  # 64 x 512 = 32768+ spheres -> fine 16-row tiles
 # SECOND cull level: streamed blocks per superblock (V4_SUPER * V4_SUB * 128
 # spheres under one AABB, e.g. 8 -> 4096). Once per superblock the kernel
 # slab-tests the union box against the tile with the LIVE t_best and parks
@@ -1143,7 +1150,11 @@ def _v4_impl(rigid, o, d, t_max, packed, boxes, occl, excl=None):
     else:
         n_super = None
 
-    rr = min(V4_RAY_ROWS, RAY_ROWS)
+    if V4_RAY_ROWS is None:
+        rr = 16 if n_outer >= V4_RR_AUTO_BLOCKS else 32
+    else:
+        rr = V4_RAY_ROWS
+    rr = min(rr, RAY_ROWS)
     assert n % (rr * 128) == 0
     rows = n // 128
     n_ray_tiles = rows // rr
