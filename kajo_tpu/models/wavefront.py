@@ -646,13 +646,23 @@ def render_passes_fast(
     return total
 
 
-def tiled_pixel_order(width, height, ts: int = 64):
+# screen-tile edge for the lane->pixel mapping below (A/B knob; round-5
+# interleaved sweep on config 5 at 128x96: 128 ~= 64 > 32 within the noise
+# floor — note at that size ts=128 degenerates to scanline order, so the
+# mapping matters little at bench resolution; 64 stays the default for the
+# real production sizes where 4096-lane tiles get compact frustums)
+TILE_TS: int = 64
+
+
+def tiled_pixel_order(width, height, ts: int | None = None):
     """Lane -> pixel id mapping walking the image in ts x ts screen tiles
     (host-side, static per resolution). Square tiles give the streaming
     trace's 4096-lane ray tiles compact frustums, so the per-block AABB
     cull rejects far more sphere blocks than scanline-strip tiles do."""
     import numpy as np
 
+    if ts is None:
+        ts = TILE_TS
     xs, ys = np.meshgrid(np.arange(width), np.arange(height))
     tiles_x = -(-width // ts)
     tile_id = (ys // ts) * tiles_x + (xs // ts)
