@@ -546,19 +546,24 @@ def main():
 
     rows.run("fwd_tangent_samples_per_s", _fwd_tangent_row)
 
-    # rays/s from the live-lane counters (wavefront engine)
+    # rays/s from the live-lane counters (wavefront engine) — group-timed
+    # like every other row (the counter varies <1% across keys, so one
+    # readback fixes the per-dispatch ray count and timed_groups clocks
+    # the dispatches with the chained-scalar sync)
     def _rays_row():
         from kajo_tpu.models.wavefront import render_pass_fast_stats
 
         img_s, iters_w, rays = render_pass_fast_stats(scene, key, W, H, SPP, config)
-        jax.block_until_ready(img_s)
-        t0 = time.time()
-        img_s, iters_w, rays = render_pass_fast_stats(
-            scene, jax.random.fold_in(key, 77), W, H, SPP, config
+        rays_per_disp = float(rays)  # readback: warms + pins the ray count
+        rate, _ = timed_groups(
+            lambda i: render_pass_fast_stats(
+                scene, jax.random.fold_in(key, 77 + i), W, H, SPP, config
+            ),
+            rays_per_disp,
+            groups=3,
+            iters=2,
         )
-        total_rays = float(rays)  # host readback: honest sync
-        dt_r = time.time() - t0
-        return round(total_rays / dt_r)
+        return round(rate)
 
     rows.run("rays_per_s", _rays_row)
 
