@@ -1,5 +1,11 @@
 """Config-5 sort-placement A/B (round 5).
 
+DEPRECATED METHODOLOGY — this script times variants SEQUENTIALLY, and the
+tunnel's multi-minute speed episodes make that unreliable (this script
+"measured" the sort at 37%; the interleaved rerun showed 6%). Use
+tools/flag_ab.py / sort_ab3.py (AOT pairs, alternating groups). Kept as the
+artifact that exposed the problem.
+
 The production pass runs TWO argsort+gather rounds per wavefront iteration
 (one inside trace, one inside light_visible). Candidate restructures:
 

@@ -1,5 +1,8 @@
 """Sort A/B across bounce regimes (round 5, follow-up to sort_ab.py).
 
+DEPRECATED METHODOLOGY — sequential variants; see sort_ab.py's note and
+use tools/flag_ab.py instead.
+
 sort_ab.py showed per-call ray sorting is a net LOSS on config 5 (depth 2):
 205K sorted vs 280K unsorted — the two ~10 ms argsorts per iteration cost
 more than the coherence they buy once lanes ride the tiled pixel order.
