@@ -465,6 +465,49 @@ def test_stream_v4_bitexact_v1():
     assert int((np.asarray(i1) >= 0).sum()) > 50
 
 
+def test_stream_v4_ray_tile_size_bitexact():
+    """V4's inner ray-tile size is pure scheduling: 16-row tiles (the
+    round-5 auto default for big streamed scenes, stream_trace.V4_RAY_ROWS
+    None -> 16 above V4_RR_AUTO_BLOCKS outer blocks) must be bit-exact vs
+    32-row tiles. The rr=16 path only auto-triggers at 32k+ spheres — far
+    too big for interpret mode — so this gate forces it on a small scene."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from kajo_tpu.ops.pallas import stream_trace as st
+
+    scene = random_spheres_scene(900, seed=13, extent=25.0, n_lights=2)
+    prep = geometry.prepare_scene(scene)
+    k = jax.random.PRNGKey(29)
+    n = 2 * st.RAY_ROWS * 128
+    o = jax.random.uniform(k, (n, 3), minval=-30.0, maxval=30.0)
+    d_raw = jax.random.normal(jax.random.fold_in(k, 1), (n, 3))
+    d = d_raw / jnp.linalg.norm(d_raw, axis=-1, keepdims=True)
+    t_max = jnp.where(
+        jax.random.bernoulli(jax.random.fold_in(k, 2), 0.5, (n,)),
+        jax.random.uniform(jax.random.fold_in(k, 3), (n,), minval=1.0, maxval=40.0),
+        jnp.float32(1e30),
+    )
+
+    orig = st.V4_RAY_ROWS
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            st.V4_RAY_ROWS = 32
+            t32, i32 = jax.jit(lambda o, d: st.nearest_sphere(prep, o, d, t_max))(o, d)
+            st.V4_RAY_ROWS = 16
+            t16, i16 = jax.jit(lambda o, d: st.nearest_sphere(prep, o, d, t_max))(o, d)
+            # any-hit occlusion kernel shares the tiling
+            bound = jnp.where(t_max > 1e29, 40.0, t_max)
+            o32 = jax.jit(lambda o, d: st.occluded_sphere(prep, o, d, bound))(o, d)
+            st.V4_RAY_ROWS = 32
+            o32b = jax.jit(lambda o, d: st.occluded_sphere(prep, o, d, bound))(o, d)
+    finally:
+        st.V4_RAY_ROWS = orig
+    np.testing.assert_array_equal(np.asarray(i32), np.asarray(i16))
+    np.testing.assert_array_equal(np.asarray(t32), np.asarray(t16))
+    np.testing.assert_array_equal(np.asarray(o32), np.asarray(o32b))
+    assert int((np.asarray(i32) >= 0).sum()) > 50
+
+
 def test_stream_v2_v3_bitexact_v1():
     """The V2 (VMEM pair-matrix) and V3 (resident-scene) kernels are
     bit-exact vs V1 (SMEM broadcast): same f32 formulas and op order, same
