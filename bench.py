@@ -482,13 +482,13 @@ def main():
     # NON-RIGID megakernel row: data/scaled.json (general object-space
     # record, det-scaled t, fwd3 normals) through the fused kernel — the
     # scene class that used to fall off to the ~2-7M samples/s jax wavefront
-    def _nonrigid_mega_row():
-        scene_nr = parser.load(os.path.join(REPO, "data", "scaled.json"), W / H)
-        eng_nr = select_engine(scene_nr)
-        render_pass_engine(eng_nr, scene_nr, key, W, H, SPP, config).block_until_ready()
+    def _scene_engine_rate(path, salt):
+        scene_x = parser.load(os.path.join(REPO, "data", path), W / H)
+        eng_x = select_engine(scene_x)
+        render_pass_engine(eng_x, scene_x, key, W, H, SPP, config).block_until_ready()
         rate, _ = timed_groups(
             lambda i: render_pass_engine(
-                eng_nr, scene_nr, jax.random.fold_in(key, 80 + i), W, H, SPP, config
+                eng_x, scene_x, jax.random.fold_in(key, salt + i), W, H, SPP, config
             ),
             samples_per_pass,
             groups=3,
@@ -496,24 +496,14 @@ def main():
         )
         return round(rate)
 
-    rows.run("nonrigid_mega_samples_per_s", _nonrigid_mega_row)
+    rows.run(
+        "nonrigid_mega_samples_per_s", lambda: _scene_engine_rate("scaled.json", 80)
+    )
 
     # config-3 extra: the caustics scene (delta BSDFs + refraction)
-    def _caustics_row():
-        scene_c = parser.load(os.path.join(REPO, "data", "caustics.json"), W / H)
-        eng_c = select_engine(scene_c)
-        render_pass_engine(eng_c, scene_c, key, W, H, SPP, config).block_until_ready()
-        rate, _ = timed_groups(
-            lambda i: render_pass_engine(
-                eng_c, scene_c, jax.random.fold_in(key, 90 + i), W, H, SPP, config
-            ),
-            samples_per_pass,
-            groups=3,
-            iters=iters,
-        )
-        return round(rate)
-
-    rows.run("caustics_samples_per_s", _caustics_row)
+    rows.run(
+        "caustics_samples_per_s", lambda: _scene_engine_rate("caustics.json", 90)
+    )
 
     # forward-mode megakernel: primal+tangent of one scene direction per pass
     # (the few-parameter geometry-gradient path)
@@ -636,8 +626,8 @@ def main():
 
     rows.run("bigscene_windows", _bigscene_w2_row)
 
-    # same second window for the other two big-scene rows (they ride the
-    # same tunnel-episode exposure; executables are already compiled)
+    # same second window for the remaining drift-exposed rows (executables
+    # already compiled; historical window swings on these reach 2-2.6x)
     def _bigscene_extra_w2_row():
         for rk, fn2 in (
             ("bigscene_100k_all_lights_samples_per_s", lambda: _timed_big(big, bcfg_all)),
@@ -648,7 +638,17 @@ def main():
                     bcfg,
                 ),
             ),
+            (
+                "nonrigid_mega_samples_per_s",
+                lambda: _scene_engine_rate("scaled.json", 180),
+            ),
+            (
+                "caustics_samples_per_s",
+                lambda: _scene_engine_rate("caustics.json", 190),
+            ),
         ):
+            if time.time() - rows.t0 > rows.budget:
+                break  # mid-row budget guard: keep what's re-measured so far
             first = result.get(rk)
             if isinstance(first, int):
                 rate2 = fn2()
