@@ -508,6 +508,39 @@ def test_stream_v4_ray_tile_size_bitexact():
     assert int((np.asarray(i32) >= 0).sum()) > 50
 
 
+def test_sort_stream_rays_bitexact():
+    """geometry.SORT_STREAM_RAYS (default OFF since round 5) is a pure
+    permutation around the streaming kernel: trace() with it on must be
+    bit-exact vs off — the un-permute gathers restore caller order."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    scene = random_spheres_scene(1400, seed=17, extent=25.0, n_lights=2)
+    k = jax.random.PRNGKey(31)
+    n = 2048
+    o = jax.random.uniform(k, (n, 3), minval=-30.0, maxval=30.0)
+    d_raw = jax.random.normal(jax.random.fold_in(k, 1), (n, 3))
+    d = d_raw / jnp.linalg.norm(d_raw, axis=-1, keepdims=True)
+
+    orig = (geometry.SORT_STREAM_RAYS, geometry.FORCE_STREAM)
+    try:
+        geometry.FORCE_STREAM = True  # cpu backend: take the streaming path
+        # prepare AFTER forcing: stream packing (and the boxes the sort
+        # needs) is only built when streaming is enabled at prepare time
+        prep = geometry.prepare_scene(scene)
+        assert prep.stream_boxes is not None
+        with pltpu.force_tpu_interpret_mode():
+            geometry.SORT_STREAM_RAYS = False
+            h0 = jax.jit(lambda o, d: geometry.trace(prep, o, d))(o, d)
+            geometry.SORT_STREAM_RAYS = True
+            h1 = jax.jit(lambda o, d: geometry.trace(prep, o, d))(o, d)
+    finally:
+        geometry.SORT_STREAM_RAYS, geometry.FORCE_STREAM = orig
+    np.testing.assert_array_equal(np.asarray(h0.obj), np.asarray(h1.obj))
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t))
+    np.testing.assert_array_equal(np.asarray(h0.position), np.asarray(h1.position))
+    assert int((np.asarray(h0.obj) >= 0).sum()) > 100
+
+
 def test_stream_v2_v3_bitexact_v1():
     """The V2 (VMEM pair-matrix) and V3 (resident-scene) kernels are
     bit-exact vs V1 (SMEM broadcast): same f32 formulas and op order, same
